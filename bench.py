@@ -1,0 +1,83 @@
+"""Headline benchmark: RANSAC hypothesize+score throughput on one TPU chip.
+
+Runs the full batched estimator (PROSAC sample → Horn hypotheses → Pallas
+MSAC scoring → argmin → weighted refit) as one jit region on the real chip
+and reports hypotheses scored per second.
+
+Baseline (BASELINE.md / BASELINE.json:5): the north-star demands ">1000
+RANSAC hypotheses/frame scored in real time" — at TUM's 30 Hz that is
+30,000 hypotheses/s, which we use as the baseline denominator.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "hypotheses/s", "vs_baseline": N/30000}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from rgbd_pose_estimation_tpu.data.synthetic import synthetic_correspondences
+from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_3d3d
+from rgbd_pose_estimation_tpu.utils.config import RansacConfig
+
+BASELINE_HYP_PER_S = 30_000.0  # 1000 hyp/frame x 30 fps (north-star)
+
+
+def main():
+    cfg = RansacConfig(
+        num_hypotheses=4096, threshold=0.05, refit_rounds=2, solver="horn"
+    )
+    n_corr = 2048
+
+    p, q, T_gt, _ = synthetic_correspondences(
+        jax.random.key(0), n=n_corr, outlier_frac=0.4, noise=0.003
+    )
+    p = jax.device_put(p)
+    q = jax.device_put(q)
+
+    # Warm up / compile (first axon compile is slow; excluded from timing).
+    key = jax.random.key(1)
+    res = estimate_pose_3d3d(key, p, q, cfg)
+    jax.block_until_ready(res.pose)
+
+    # Sanity: the estimate must actually be right, or the speed is meaningless.
+    err = float(jnp.abs(res.pose - T_gt).max())
+    assert err < 0.05, f"benchmark estimator inaccurate: err={err}"
+
+    iters = 20
+    keys = jax.random.split(jax.random.key(2), iters)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        res = estimate_pose_3d3d(keys[i], p, q, cfg)
+    jax.block_until_ready(res.pose)
+    dt = (time.perf_counter() - t0) / iters
+
+    hyp_per_s = cfg.num_hypotheses / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ransac_hypotheses_per_s",
+                "value": round(hyp_per_s, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(hyp_per_s / BASELINE_HYP_PER_S, 3),
+                "detail": {
+                    "num_hypotheses": cfg.num_hypotheses,
+                    "num_correspondences": n_corr,
+                    "ms_per_estimate": round(dt * 1000.0, 3),
+                    "pose_max_err": round(err, 5),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""Pallas TPU kernels for massively parallel RANSAC hypothesis scoring.
+
+This is HOT LOOP #1 (SURVEY.md §3.1) and the north-star metric: ">1000 RANSAC
+hypotheses/frame scored in real time" — the reference scores hypotheses in a
+*serial* CPU loop with early exit; we score a K-sized batch of poses against
+all N correspondences at once.
+
+Kernel layout (per SURVEY.md §2.1 "RANSAC engine"):
+- grid over K-tiles of hypotheses; the full correspondence set (laid out
+  ``(3, N)`` so N rides the 128-lane axis) stays resident in VMEM across all
+  grid steps;
+- each grid step broadcasts a ``(KT, 1)`` pose-component column against the
+  ``(1, N)`` point rows — pure VPU elementwise work on ``(KT, N)`` tiles —
+  and reduces to MSAC score + inlier count without ever materializing the
+  ``(K, N)`` residual matrix in HBM. HBM traffic is therefore
+  O(K·12 + N·6 + K·2) instead of O(K·N).
+
+Every kernel has a jnp twin (``*_reference``) used as the correctness oracle
+in tests (SURVEY.md §4.4) and as the fallback path on non-TPU backends.
+
+Padding contract: callers pad N to a multiple of 128 by appending points with
+``q = PAD_SENTINEL`` — those always land outside the inlier threshold, adding
+a constant to every hypothesis's MSAC score (ordering preserved) and nothing
+to inlier counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD_SENTINEL = 1e6
+_KT = 256  # hypothesis tile (sublane-friendly multiple of 8)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def pack_poses(T: jnp.ndarray) -> jnp.ndarray:
+    """``(K, 4, 4)`` poses → ``(K, 12)`` [9 rotation row-major, 3 translation]."""
+    K = T.shape[0]
+    return jnp.concatenate(
+        [T[:, :3, :3].reshape(K, 9), T[:, :3, 3]], axis=-1
+    )
+
+
+# --------------------------------------------------------------------------
+# 3D-3D scoring: residual = ||R p + t - q||
+# --------------------------------------------------------------------------
+
+
+def _score3d_kernel(poses_ref, p_ref, q_ref, msac_ref, count_ref, *, tau2):
+    px, py, pz = p_ref[0:1, :], p_ref[1:2, :], p_ref[2:3, :]
+    qx, qy, qz = q_ref[0:1, :], q_ref[1:2, :], q_ref[2:3, :]
+
+    def col(i):
+        return poses_ref[:, i : i + 1]  # (KT, 1)
+
+    ex = col(0) * px + col(1) * py + col(2) * pz + col(9) - qx
+    ey = col(3) * px + col(4) * py + col(5) * pz + col(10) - qy
+    ez = col(6) * px + col(7) * py + col(8) * pz + col(11) - qz
+    e = ex * ex + ey * ey + ez * ez  # (KT, N)
+    msac_ref[:, :] = jnp.sum(jnp.minimum(e, tau2), axis=1, keepdims=True)
+    count_ref[:, :] = jnp.sum(
+        (e < tau2).astype(jnp.float32), axis=1, keepdims=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "impl"))
+def score_poses_3d3d(
+    T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray, threshold: float,
+    impl: str = "auto",
+):
+    """Score K poses against N 3D-3D correspondences.
+
+    Args: T ``(K, 4, 4)``, p/q ``(N, 3)`` (N a multiple of 128; see padding
+    contract above). ``impl``: "auto" (Pallas on TPU, jnp elsewhere),
+    "reference", or "interpret" (Pallas interpreter — kernel parity tests on
+    CPU). Returns ``(msac_score, inlier_count)`` both ``(K,)`` f32.
+    """
+    if impl == "reference" or (impl == "auto" and not _use_pallas()):
+        return score_poses_3d3d_reference(T, p, q, threshold)
+    K, N = T.shape[0], p.shape[0]
+    assert K % _KT == 0 and N % 128 == 0, (K, N)
+    poses = pack_poses(T)
+    pT = p.T  # (3, N)
+    qT = q.T
+    kernel = functools.partial(_score3d_kernel, tau2=threshold * threshold)
+    msac, count = pl.pallas_call(
+        kernel,
+        grid=(K // _KT,),
+        in_specs=[
+            pl.BlockSpec((_KT, 12), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_KT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=23 * K * N, bytes_accessed=4 * (12 * K + 6 * N + 2 * K), transcendentals=0
+        ),
+        interpret=impl == "interpret",
+    )(poses, pT, qT)
+    return msac[:, 0], count[:, 0]
+
+
+def score_poses_3d3d_reference(T, p, q, threshold: float):
+    """jnp twin of :func:`score_poses_3d3d` (oracle + non-TPU fallback)."""
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    pred = jnp.einsum("kij,nj->kni", R, p) + t[:, None, :]
+    e = jnp.sum((pred - q[None]) ** 2, axis=-1)  # (K, N)
+    tau2 = threshold * threshold
+    msac = jnp.sum(jnp.minimum(e, tau2), axis=-1)
+    count = jnp.sum((e < tau2).astype(jnp.float32), axis=-1)
+    return msac, count
+
+
+# --------------------------------------------------------------------------
+# 2D-3D scoring: residual = || proj(R X + t) - obs ||  (normalized plane)
+# --------------------------------------------------------------------------
+
+
+def _score2d_kernel(poses_ref, x_ref, o_ref, msac_ref, count_ref, *, tau2):
+    X, Y, Z = x_ref[0:1, :], x_ref[1:2, :], x_ref[2:3, :]
+    ou, ov = o_ref[0:1, :], o_ref[1:2, :]
+
+    def col(i):
+        return poses_ref[:, i : i + 1]
+
+    cx = col(0) * X + col(1) * Y + col(2) * Z + col(9)
+    cy = col(3) * X + col(4) * Y + col(5) * Z + col(10)
+    cz = col(6) * X + col(7) * Y + col(8) * Z + col(11)
+    behind = cz < 1e-6
+    iz = 1.0 / jnp.where(behind, 1.0, cz)
+    du = cx * iz - ou
+    dv = cy * iz - ov
+    e = du * du + dv * dv
+    e = jnp.where(behind, 4.0 * tau2, e)  # points behind camera: outliers
+    msac_ref[:, :] = jnp.sum(jnp.minimum(e, tau2), axis=1, keepdims=True)
+    count_ref[:, :] = jnp.sum(
+        (e < tau2).astype(jnp.float32), axis=1, keepdims=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "impl"))
+def score_poses_2d3d(
+    T: jnp.ndarray, points: jnp.ndarray, obs: jnp.ndarray, threshold: float,
+    impl: str = "auto",
+):
+    """Score K world→camera poses against N (3D point, normalized-2D) pairs.
+
+    Args: T ``(K, 4, 4)``, points ``(N, 3)``, obs ``(N, 2)``; ``impl`` as in
+    :func:`score_poses_3d3d`. Returns ``(msac_score, inlier_count)`` both
+    ``(K,)`` f32. Points behind the camera are treated as outliers.
+    """
+    if impl == "reference" or (impl == "auto" and not _use_pallas()):
+        return score_poses_2d3d_reference(T, points, obs, threshold)
+    K, N = T.shape[0], points.shape[0]
+    assert K % _KT == 0 and N % 128 == 0, (K, N)
+    poses = pack_poses(T)
+    kernel = functools.partial(_score2d_kernel, tau2=threshold * threshold)
+    msac, count = pl.pallas_call(
+        kernel,
+        grid=(K // _KT,),
+        in_specs=[
+            pl.BlockSpec((_KT, 12), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_KT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_KT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=26 * K * N, bytes_accessed=4 * (12 * K + 5 * N + 2 * K), transcendentals=0
+        ),
+        interpret=impl == "interpret",
+    )(poses, points.T, obs.T)
+    return msac[:, 0], count[:, 0]
+
+
+def score_poses_2d3d_reference(T, points, obs, threshold: float):
+    """jnp twin of :func:`score_poses_2d3d`."""
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    Xc = jnp.einsum("kij,nj->kni", R, points) + t[:, None, :]
+    z = Xc[..., 2]
+    behind = z < 1e-6
+    proj = Xc[..., :2] / jnp.where(behind, 1.0, z)[..., None]
+    e = jnp.sum((proj - obs[None]) ** 2, axis=-1)
+    tau2 = threshold * threshold
+    e = jnp.where(behind, 4.0 * tau2, e)
+    msac = jnp.sum(jnp.minimum(e, tau2), axis=-1)
+    count = jnp.sum((e < tau2).astype(jnp.float32), axis=-1)
+    return msac, count

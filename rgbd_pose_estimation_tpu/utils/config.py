@@ -1,0 +1,150 @@
+"""Frozen dataclass configs for every stage (SURVEY.md §5.6).
+
+The reference hard-codes constants in its example mains; here each subsystem
+takes one frozen (hence hashable) dataclass, so configs can be static jit
+arguments without retrace churn, and each of the five driver configs maps to
+a YAML file under ``configs/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Batched RANSAC/PROSAC hypothesize-and-score (SURVEY.md L2)."""
+
+    num_hypotheses: int = 2048  # K: hypotheses scored per round
+    sample_size: int = 3  # m: minimal set size (3 for AO and P3P)
+    threshold: float = 0.03  # inlier threshold (meters for 3D-3D,
+    #                          normalized-plane units for 2D-3D)
+    prosac: bool = True  # progressive sampling over quality-sorted matches
+    prosac_growth: float = 0.05  # fraction of hypotheses at full window
+    refit_rounds: int = 2  # weighted-refit iterations on the best model
+    min_inliers: int = 10  # below this the estimate is flagged invalid
+    solver: str = "horn"  # "horn" (matmul-only) or "kabsch" (SVD)
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpConfig:
+    """Dense projective point-to-plane ICP (SURVEY.md L3)."""
+
+    levels: int = 3  # pyramid levels, coarse-to-fine
+    iters_per_level: tuple = (10, 7, 5)  # coarse → fine (len == levels)
+    max_depth: float = 5.0
+    min_depth: float = 0.1
+    dist_threshold: float = 0.10  # association gate (meters)
+    normal_threshold: float = 0.7  # min cos(angle) between normals
+    huber_delta: float = 0.01  # robust weight scale (meters)
+    damping: float = 1e-6  # LM damping on the 6x6 solve
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """Keyframe SE(3) pose-graph Gauss-Newton (driver config 4)."""
+
+    iters: int = 20
+    damping: float = 1e-6
+    loop_sigma: float = 0.05  # loop-closure information weighting
+    odom_sigma: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Schur-complement bundle adjustment (driver config 5)."""
+
+    outer_iters: int = 10
+    cg_iters: int = 30
+    damping: float = 1e-4
+    huber_delta: float = 0.01
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for distributed runs (SURVEY.md §5.8)."""
+
+    hosts: int = 1
+    chips_per_host: int = 1
+    host_axis: str = "host"
+    chip_axis: str = "chip"
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeConfig:
+    """Keyframe selection policy for odometry/SLAM."""
+
+    min_inlier_ratio: float = 0.65  # new keyframe when overlap drops below
+    max_interval: int = 20  # ... or after this many frames
+    max_keyframes: int = 512  # static buffer bound (jit-friendly)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline wiring of the above."""
+
+    ransac: RansacConfig = RansacConfig()
+    icp: IcpConfig = IcpConfig()
+    pose_graph: PoseGraphConfig = PoseGraphConfig()
+    ba: BAConfig = BAConfig()
+    mesh: MeshConfig = MeshConfig()
+    keyframe: KeyframeConfig = KeyframeConfig()
+
+
+_SECTIONS = {
+    "ransac": RansacConfig,
+    "icp": IcpConfig,
+    "pose_graph": PoseGraphConfig,
+    "ba": BAConfig,
+    "mesh": MeshConfig,
+    "keyframe": KeyframeConfig,
+}
+
+
+def _parse_scalar(s: str):
+    t = s.strip()
+    if t.lower() in ("true", "false"):
+        return t.lower() == "true"
+    try:
+        return int(t)
+    except ValueError:
+        pass
+    try:
+        return float(t)
+    except ValueError:
+        pass
+    if t.startswith("[") and t.endswith("]"):
+        inner = t[1:-1].strip()
+        return tuple(_parse_scalar(x) for x in inner.split(",")) if inner else ()
+    return t.strip("'\"")
+
+
+def load_yaml_config(path) -> PipelineConfig:
+    """Load a PipelineConfig from a minimal two-level YAML file.
+
+    Supports the subset of YAML the checked-in configs use (section headers +
+    ``key: value`` pairs + comments) with no external dependency; unknown
+    keys raise so config drift is caught immediately.
+    """
+    sections: dict = {}
+    current: Optional[str] = None
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].rstrip()
+            if not line.strip():
+                continue
+            if not line.startswith(" ") and line.endswith(":"):
+                current = line[:-1].strip()
+                sections[current] = {}
+            elif ":" in line and current is not None:
+                k, v = line.split(":", 1)
+                sections[current][k.strip()] = _parse_scalar(v)
+            else:
+                raise ValueError(f"unparseable config line: {raw!r}")
+    kwargs = {}
+    for name, vals in sections.items():
+        if name not in _SECTIONS:
+            raise ValueError(f"unknown config section: {name}")
+        kwargs[name] = _SECTIONS[name](**vals)
+    return PipelineConfig(**kwargs)

@@ -1,0 +1,87 @@
+"""Kernel parity tests (SURVEY.md §4.4): Pallas interpreter vs jnp twin."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp
+from rgbd_pose_estimation_tpu.ops.ransac_score import (
+    score_poses_2d3d,
+    score_poses_2d3d_reference,
+    score_poses_3d3d,
+    score_poses_3d3d_reference,
+)
+
+
+def _poses(seed, k):
+    rng = np.random.default_rng(seed)
+    return se3_exp(jnp.asarray(rng.normal(size=(k, 6)) * 0.4, jnp.float32))
+
+
+class TestScore3D3D:
+    @pytest.mark.parametrize("k,n", [(256, 128), (512, 384)])
+    def test_pallas_matches_reference(self, k, n):
+        rng = np.random.default_rng(0)
+        T = _poses(1, k)
+        p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        m_ref, c_ref = score_poses_3d3d_reference(T, p, q, 0.1)
+        m_pal, c_pal = score_poses_3d3d(T, p, q, 0.1, impl="interpret")
+        np.testing.assert_allclose(np.asarray(m_pal), np.asarray(m_ref), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(c_pal), np.asarray(c_ref))
+
+    def test_true_pose_wins(self):
+        rng = np.random.default_rng(2)
+        T = _poses(3, 256)
+        p = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        q = se3_apply(T[17][None], p[None])[0]
+        msac, count = score_poses_3d3d_reference(T, p, q, 0.05)
+        assert int(jnp.argmin(msac)) == 17
+        assert float(count[17]) == 256.0
+
+    def test_all_outlier_frame(self):
+        # Edge tile from the survey test plan: every correspondence bogus.
+        T = _poses(4, 256)
+        p = jnp.zeros((128, 3))
+        q = jnp.full((128, 3), 1e6)
+        msac, count = score_poses_3d3d_reference(T, p, q, 0.05)
+        assert float(count.max()) == 0.0
+        np.testing.assert_allclose(np.asarray(msac), 128 * 0.05**2, rtol=1e-5)
+
+    def test_padding_sentinel_preserves_order(self):
+        rng = np.random.default_rng(5)
+        T = _poses(6, 256)
+        p = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+        q = se3_apply(T[3][None], p[None])[0]
+        p_pad = jnp.pad(p, ((0, 28), (0, 0)))
+        q_pad = jnp.pad(q, ((0, 28), (0, 0)), constant_values=1e6)
+        m0, _ = score_poses_3d3d_reference(T, p, q, 0.05)
+        m1, c1 = score_poses_3d3d_reference(T, p_pad, q_pad, 0.05)
+        assert int(jnp.argmin(m0)) == int(jnp.argmin(m1)) == 3
+        np.testing.assert_array_equal(
+            np.argsort(np.asarray(m0)), np.argsort(np.asarray(m1))
+        )
+
+
+class TestScore2D3D:
+    def test_pallas_matches_reference(self):
+        rng = np.random.default_rng(0)
+        T = _poses(1, 256)
+        pts = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32) + jnp.asarray(
+            [0, 0, 4.0]
+        )
+        obs = jnp.asarray(rng.normal(size=(128, 2)) * 0.3, jnp.float32)
+        m_ref, c_ref = score_poses_2d3d_reference(T, pts, obs, 0.02)
+        m_pal, c_pal = score_poses_2d3d(T, pts, obs, 0.02, impl="interpret")
+        np.testing.assert_allclose(
+            np.asarray(m_pal), np.asarray(m_ref), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(c_pal), np.asarray(c_ref))
+
+    def test_behind_camera_is_outlier(self):
+        T = jnp.eye(4)[None].repeat(256, axis=0)
+        pts = jnp.asarray([[0.0, 0.0, -1.0]] * 128)
+        obs = jnp.zeros((128, 2))
+        msac, count = score_poses_2d3d_reference(T, pts, obs, 0.1)
+        assert float(count.max()) == 0.0

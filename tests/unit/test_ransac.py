@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp
+from rgbd_pose_estimation_tpu.data.synthetic import synthetic_correspondences
+from rgbd_pose_estimation_tpu.ransac import (
+    estimate_pose_2d3d,
+    estimate_pose_3d3d,
+    prosac_windows,
+    sample_minimal_sets,
+)
+from rgbd_pose_estimation_tpu.utils.config import RansacConfig
+
+CFG = RansacConfig(num_hypotheses=512, threshold=0.05, refit_rounds=2)
+
+
+class TestProsac:
+    def test_windows_monotone_and_bounded(self):
+        w = np.asarray(prosac_windows(1000, 512, 3))
+        assert w[0] >= 3
+        assert np.all(np.diff(w) >= 0)
+        assert w[-1] <= 1000
+
+    def test_windows_reach_full_set(self):
+        w = np.asarray(prosac_windows(100, 4096, 3))
+        assert w[-1] == 100
+
+    def test_sample_distinct_indices(self):
+        idx = np.asarray(sample_minimal_sets(jax.random.key(0), 500, 256, 3))
+        assert idx.shape == (256, 3)
+        for row in idx:
+            assert len(set(row.tolist())) == 3
+
+    def test_sample_respects_windows(self):
+        idx = np.asarray(
+            sample_minimal_sets(jax.random.key(1), 1000, 512, 3, prosac=True)
+        )
+        w = np.asarray(prosac_windows(1000, 512, 3))
+        assert np.all(idx.max(axis=1) < w)
+
+    def test_uniform_when_prosac_off(self):
+        idx = np.asarray(
+            sample_minimal_sets(jax.random.key(2), 1000, 2048, 3, prosac=False)
+        )
+        # Late indices must actually be drawn.
+        assert idx.max() > 900
+
+
+class TestRansac3D3D:
+    @pytest.mark.parametrize("outlier_frac", [0.0, 0.3, 0.6])
+    def test_recovers_under_outliers(self, outlier_frac):
+        p, q, T, inl = synthetic_correspondences(
+            jax.random.key(3), n=400, outlier_frac=outlier_frac, noise=0.002
+        )
+        res = estimate_pose_3d3d(jax.random.key(4), p, q, CFG)
+        assert bool(res.valid)
+        err = np.abs(np.asarray(res.pose) - np.asarray(T)).max()
+        assert err < 0.02
+        # Inlier mask should broadly agree with ground truth.
+        agree = (np.asarray(res.inlier_mask) == np.asarray(inl)).mean()
+        assert agree > 0.9
+
+    def test_seeded_reproducibility(self):
+        p, q, _, _ = synthetic_correspondences(
+            jax.random.key(5), n=300, outlier_frac=0.4
+        )
+        a = estimate_pose_3d3d(jax.random.key(6), p, q, CFG)
+        b = estimate_pose_3d3d(jax.random.key(6), p, q, CFG)
+        np.testing.assert_array_equal(np.asarray(a.pose), np.asarray(b.pose))
+
+    def test_invalid_when_no_structure(self):
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.normal(size=(200, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(200, 3)) * 100.0, jnp.float32)
+        res = estimate_pose_3d3d(jax.random.key(7), p, q, CFG)
+        assert not bool(res.valid)
+
+    def test_kabsch_solver_variant(self):
+        cfg = RansacConfig(num_hypotheses=256, threshold=0.05, solver="kabsch")
+        p, q, T, _ = synthetic_correspondences(jax.random.key(8), n=200, outlier_frac=0.3)
+        res = estimate_pose_3d3d(jax.random.key(9), p, q, cfg)
+        assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.02
+
+
+class TestRansac2D3D:
+    def _problem(self, seed, n=300, outlier_frac=0.3):
+        rng = np.random.default_rng(seed)
+        T = se3_exp(jnp.asarray(rng.normal(size=6) * 0.4, jnp.float32))
+        T = T.at[2, 3].add(4.0)
+        pts = jnp.asarray(rng.uniform(-1.5, 1.5, size=(n, 3)), jnp.float32)
+        Xc = se3_apply(T[None], pts[None])[0]
+        obs = Xc[:, :2] / Xc[:, 2:3]
+        out = jnp.asarray(rng.uniform(size=n) < outlier_frac)
+        obs = jnp.where(
+            out[:, None], jnp.asarray(rng.uniform(-1, 1, size=(n, 2)), jnp.float32), obs
+        )
+        return T, pts, obs
+
+    def test_recovers_pose(self):
+        T, pts, obs = self._problem(0)
+        cfg = RansacConfig(num_hypotheses=512, threshold=0.01)
+        res = estimate_pose_2d3d(jax.random.key(1), pts, obs, cfg)
+        assert bool(res.valid)
+        assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.02
+        assert res.num_hypotheses == 512 * 4
+
+    def test_heavy_outliers(self):
+        T, pts, obs = self._problem(2, outlier_frac=0.6)
+        cfg = RansacConfig(num_hypotheses=1024, threshold=0.01)
+        res = estimate_pose_2d3d(jax.random.key(3), pts, obs, cfg)
+        assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.05
