@@ -1,0 +1,224 @@
+"""Command-line entry points (SURVEY.md L5 "Pipeline / apps").
+
+The reference ships example ``main.cpp`` drivers; the equivalents here:
+
+  python -m rgbd_pose_estimation_tpu.cli.main pair  --dataset D --a 0 --b 3
+  python -m rgbd_pose_estimation_tpu.cli.main odom  --dataset D --out traj.txt
+  python -m rgbd_pose_estimation_tpu.cli.main pg    --dataset D --out traj.txt
+  python -m rgbd_pose_estimation_tpu.cli.main eval  --est traj.txt --gt gt.txt
+  python -m rgbd_pose_estimation_tpu.cli.main synth --out D           (fixture)
+
+``--dataset`` is a TUM RGB-D directory (rgb.txt/depth.txt[/groundtruth.txt]).
+``--cpu`` forces the CPU backend (note: the env var JAX_PLATFORMS is
+overridden by the axon plugin, so the flag calls jax.config directly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--config", help="YAML config (configs/*.yaml)")
+    p.add_argument("--metrics", help="JSONL metrics output path")
+    p.add_argument("--trace-dir", help="jax.profiler trace output dir")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--log-level", default="INFO")
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(prog="tpu-rgbd")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pair = sub.add_parser("pair", help="frame-pair sparse pose (configs 1-2)")
+    pair.add_argument("--dataset", required=True)
+    pair.add_argument("--a", type=int, default=0)
+    pair.add_argument("--b", type=int, default=1)
+    pair.add_argument("--mode", choices=["3d3d", "2d3d"], default="3d3d")
+    pair.add_argument("--intrinsics", default="tum_default",
+                      choices=["tum_default", "tum_fr1", "from_dataset"])
+    _common(pair)
+
+    odom = sub.add_parser("odom", help="dense ICP odometry (config 3)")
+    odom.add_argument("--dataset", required=True)
+    odom.add_argument("--out", required=True, help="TUM trajectory output")
+    odom.add_argument("--max-frames", type=int, default=0)
+    odom.add_argument("--intrinsics", default="tum_default",
+                      choices=["tum_default", "tum_fr1", "from_dataset"])
+    odom.add_argument("--pose-graph", action="store_true",
+                      help="optimize keyframe pose graph at the end (config 4)")
+    odom.add_argument("--resume", action="store_true",
+                      help="resume from checkpoint next to --out")
+    _common(odom)
+
+    ev = sub.add_parser("eval", help="ATE/RPE vs ground truth")
+    ev.add_argument("--est", required=True)
+    ev.add_argument("--gt", required=True)
+    _common(ev)
+
+    synth = sub.add_parser("synth", help="write a synthetic TUM-format dataset")
+    synth.add_argument("--out", required=True)
+    synth.add_argument("--frames", type=int, default=30)
+    synth.add_argument("--width", type=int, default=320)
+    synth.add_argument("--height", type=int, default=240)
+    synth.add_argument("--motion", type=float, default=0.01)
+    _common(synth)
+    return ap
+
+
+def _setup(args):
+    import logging
+
+    logging.basicConfig(level=getattr(logging, args.log_level.upper(), 20))
+    import jax
+
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")
+    from rgbd_pose_estimation_tpu.utils.config import PipelineConfig, load_yaml_config
+
+    cfg = load_yaml_config(args.config) if args.config else PipelineConfig()
+    return cfg
+
+
+def _intrinsics(name, cam_from_dataset=None):
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+
+    if name == "tum_fr1":
+        return CameraIntrinsics.tum_fr1()
+    if name == "from_dataset" and cam_from_dataset is not None:
+        return cam_from_dataset
+    return CameraIntrinsics.tum_default()
+
+
+def _dataset_cam(root):
+    """Synthetic fixture datasets store their intrinsics in intrinsics.txt."""
+    import os
+
+    path = os.path.join(root, "intrinsics.txt")
+    if not os.path.exists(path):
+        return None
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+
+    vals = [float(x) for x in open(path).read().split()]
+    return CameraIntrinsics(*vals[:4], int(vals[4]), int(vals[5]))
+
+
+def cmd_pair(args):
+    cfg = _setup(args)
+    import jax
+
+    from rgbd_pose_estimation_tpu.data.tum import TumSequence
+    from rgbd_pose_estimation_tpu.models.frame_pair import FramePairEstimator
+
+    seq = TumSequence(args.dataset)
+    cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
+    _, ga, da = seq.frame(args.a)
+    _, gb, db = seq.frame(args.b)
+    est = FramePairEstimator(cam, cfg.ransac, mode=args.mode)
+    out = est.estimate(ga, da, gb, db if args.mode == "3d3d" else None,
+                       key=jax.random.key(0))
+    print(json.dumps({
+        "pose": out.pose.tolist(),
+        "valid": out.valid,
+        "num_matches": out.num_matches,
+        "num_inliers": out.num_inliers,
+        "num_hypotheses": out.num_hypotheses,
+    }))
+    return 0 if out.valid else 1
+
+
+def cmd_odom(args):
+    cfg = _setup(args)
+    from rgbd_pose_estimation_tpu.data.prefetch import PrefetchIterator
+    from rgbd_pose_estimation_tpu.data.tum import TumSequence
+    from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
+    from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
+    from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
+    from rgbd_pose_estimation_tpu.utils.timing import trace_context
+
+    seq = TumSequence(args.dataset)
+    cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    metrics = MetricsLogger(args.metrics)
+    odo = DenseOdometry(cam, cfg.icp, cfg.keyframe, metrics)
+
+    start = 0
+    ckpt_path = args.out + ".ckpt.npz"
+    if args.resume:
+        from rgbd_pose_estimation_tpu.utils.checkpoint import load_odometry_checkpoint
+
+        start = load_odometry_checkpoint(ckpt_path, odo, seq)
+        print(f"resumed at frame {start}", file=sys.stderr)
+
+    with trace_context(args.trace_dir):
+        loader = PrefetchIterator(lambda i: seq.frame(start + i), n - start)
+        for k, (ts, gray, depth) in enumerate(loader):
+            odo.process(depth, frame_index=start + k)
+            if (start + k + 1) % 50 == 0:
+                from rgbd_pose_estimation_tpu.utils.checkpoint import (
+                    save_odometry_checkpoint,
+                )
+
+                save_odometry_checkpoint(ckpt_path, odo, start + k + 1)
+    write_tum_trajectory(args.out, seq.timestamps[:n], np.stack(odo.poses))
+
+    if args.pose_graph:
+        from rgbd_pose_estimation_tpu.graph.pose_graph import optimize_trajectory
+
+        poses = optimize_trajectory(odo, cfg.pose_graph)
+        write_tum_trajectory(args.out, seq.timestamps[:n], poses)
+
+    print(json.dumps(metrics.summary()))
+    return 0
+
+
+def cmd_eval(args):
+    _setup(args)
+    from rgbd_pose_estimation_tpu.eval.ate import ate_rmse, rpe
+    from rgbd_pose_estimation_tpu.eval.traj_io import (
+        associate_timestamps,
+        read_tum_trajectory,
+    )
+
+    ts_e, est = read_tum_trajectory(args.est)
+    ts_g, gt = read_tum_trajectory(args.gt)
+    ia, ib = associate_timestamps(ts_e, ts_g)
+    est, gt = est[ia], gt[ib]
+
+    def centers(T):
+        return -np.einsum("fji,fj->fi", T[:, :3, :3], T[:, :3, 3])
+
+    out = {"ate_rmse": ate_rmse(centers(est), centers(gt)),
+           "num_poses": int(len(ia)), **rpe(est, gt)}
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_synth(args):
+    _setup(args)
+    import os
+
+    from rgbd_pose_estimation_tpu.data.tum import write_synthetic_tum
+
+    cam = write_synthetic_tum(
+        args.out, n_frames=args.frames, size=(args.width, args.height),
+        motion_scale=args.motion,
+    )
+    with open(os.path.join(args.out, "intrinsics.txt"), "w") as f:
+        f.write(f"{cam.fx} {cam.fy} {cam.cx} {cam.cy} {cam.width} {cam.height}\n")
+    print(json.dumps({"out": args.out, "frames": args.frames}))
+    return 0
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return {"pair": cmd_pair, "odom": cmd_odom, "eval": cmd_eval,
+            "synth": cmd_synth}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

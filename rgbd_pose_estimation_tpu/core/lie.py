@@ -203,6 +203,19 @@ def se3_apply(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...nj->...ni", R, points) + t[..., None, :]
 
 
+def se3_adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of SE(3) for twist order [v, w]: ``(..., 6, 6)``.
+
+    Satisfies ``T exp(xi^) T^-1 = exp((Ad_T xi)^)``:
+    ``Ad = [[R, [t]x R], [0, R]]``.
+    """
+    R, t = matrix_to_rt(T)
+    tx = so3_hat(t)
+    top = jnp.concatenate([R, tx @ R], axis=-1)
+    bottom = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """Unit quaternion ``(..., 4)`` in (w, x, y, z) order → rotation matrix."""
     q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)

@@ -99,15 +99,29 @@ def _raycast(origins: jnp.ndarray, dirs: jnp.ndarray):
     return jnp.where(s < big * 0.5, s, 0.0)
 
 
+def _hash_noise(ix: jnp.ndarray, iy: jnp.ndarray, iz: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic integer-lattice hash → [0, 1) (value noise, sharp)."""
+    h = ix * 374761393 + iy * 668265263 + iz * 2147483647
+    h = (h ^ (h >> 13)) * 1274126177
+    h = h ^ (h >> 16)
+    return (h & 0xFFFF).astype(jnp.float32) / 65535.0
+
+
 def _texture(points: jnp.ndarray) -> jnp.ndarray:
-    """Procedural grayscale texture on scene surfaces (for features/photo)."""
+    """Procedural grayscale texture with sharp, corner-rich detail.
+
+    A blocky value-noise (piecewise-constant on a ~2.5 cm lattice) layered
+    over low-frequency shading: the hard block edges give FAST/ORB dense,
+    well-localized corners — smooth sinusoid textures starve the sparse
+    front-end of keypoints.
+    """
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
-    v = (
-        0.5
-        + 0.2 * jnp.sin(7.1 * x) * jnp.cos(5.3 * y)
-        + 0.15 * jnp.sin(9.7 * y + 3.1 * z)
-        + 0.15 * jnp.cos(11.3 * x * y + z)
-    )
+    ix = jnp.floor(x * 40.0).astype(jnp.int32)
+    iy = jnp.floor(y * 40.0).astype(jnp.int32)
+    iz = jnp.floor(z * 40.0).astype(jnp.int32)
+    blocks = _hash_noise(ix, iy, iz)
+    coarse = _hash_noise(ix >> 3, iy >> 3, iz >> 3)
+    v = 0.15 + 0.45 * blocks + 0.3 * coarse + 0.1 * jnp.sin(7.1 * x) * jnp.cos(5.3 * y)
     return jnp.clip(v, 0.0, 1.0)
 
 

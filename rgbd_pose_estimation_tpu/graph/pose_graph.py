@@ -1,0 +1,183 @@
+"""Keyframe SE(3) pose-graph optimization (driver config 4).
+
+Not present in the reference (SURVEY.md §2.1 "components the north-star
+requires"); call stack per SURVEY.md §3.3:
+
+  lax.scan GN iterations, each:
+    batched edge residuals r_e = log(T_meas^-1 T_i T_j^-1)     [vmap]
+    block normal equations via scatter-add into (K, K, 6, 6)   [dense ≤512 kf]
+    damped Cholesky solve + per-node right retraction T_i ← T_i exp(δ_i)
+
+Jacobians use the small-residual approximation J_i = Ad(T_j) = -J_j (exact
+as r→0, standard in practice); node 0 is gauge-fixed with a strong prior.
+The whole optimizer is one jit region with static (K, E).
+
+Loop closures: keyframe pairs that are spatially near but temporally far
+are geometrically verified by dense ICP between their stored pyramids —
+depth-only, no appearance model needed — and accepted edges get the loop
+information weight.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_pose_estimation_tpu.core.lie import (
+    se3_adjoint,
+    se3_exp,
+    se3_inverse,
+    se3_log,
+)
+from rgbd_pose_estimation_tpu.utils.config import IcpConfig, PoseGraphConfig
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def optimize_pose_graph(
+    poses: jnp.ndarray,  # (K, 4, 4) world→camera initial estimates
+    edges_i: jnp.ndarray,  # (E,) int32
+    edges_j: jnp.ndarray,  # (E,) int32
+    T_meas: jnp.ndarray,  # (E, 4, 4): measured camera-j → camera-i transform
+    weights: jnp.ndarray,  # (E,) information weights
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+):
+    """Gauss-Newton over the keyframe graph; returns optimized poses."""
+    K = poses.shape[0]
+    T_meas_inv = se3_inverse(T_meas)
+
+    def gn_step(T, _):
+        Ti = T[edges_i]  # (E, 4, 4)
+        Tj = T[edges_j]
+        M = T_meas_inv @ Ti @ se3_inverse(Tj)
+        r = se3_log(M)  # (E, 6)
+        A = se3_adjoint(Tj)  # (E, 6, 6) — J_i = A, J_j = -A
+        w = weights[:, None, None]
+        AtA = jnp.einsum("eki,ekj->eij", A, A) * w  # (E, 6, 6)
+        Atr = jnp.einsum("eki,ek->ei", A, r) * weights[:, None]
+
+        H = jnp.zeros((K, K, 6, 6), poses.dtype)
+        H = H.at[edges_i, edges_i].add(AtA)
+        H = H.at[edges_j, edges_j].add(AtA)
+        H = H.at[edges_i, edges_j].add(-AtA)
+        H = H.at[edges_j, edges_i].add(-AtA)
+        b = jnp.zeros((K, 6), poses.dtype)
+        b = b.at[edges_i].add(Atr)
+        b = b.at[edges_j].add(-Atr)
+
+        # Gauge prior on node 0 + LM damping.
+        H = H.at[0, 0].add(1e6 * jnp.eye(6, dtype=poses.dtype))
+        Hd = H.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        Hd = Hd + cfg.damping * jnp.eye(K * 6, dtype=poses.dtype)
+        delta = jax.scipy.linalg.solve(
+            Hd, -b.reshape(K * 6), assume_a="pos"
+        ).reshape(K, 6)
+        T_new = T @ se3_exp(delta)
+        cost = jnp.sum(weights * jnp.sum(r * r, axis=-1))
+        return T_new, cost
+
+    T_opt, costs = jax.lax.scan(gn_step, poses, None, length=cfg.iters)
+    return T_opt, costs
+
+
+def detect_loop_closures(
+    odo,
+    max_dist: float = 0.5,
+    min_gap: int = 3,
+    max_candidates: int = 20,
+    min_overlap: float = 0.3,
+):
+    """Geometrically-verified loop closures between stored keyframes.
+
+    Candidates: keyframe pairs whose estimated camera centers are within
+    ``max_dist`` but at least ``min_gap`` keyframes apart. Verification:
+    dense ICP between the stored pyramids, accepted when the association
+    overlap stays above ``min_overlap``. Returns
+    ``[(kf_a, kf_b, T_b_to_a, overlap), ...]`` with indices into
+    ``odo.keyframes``.
+    """
+    from rgbd_pose_estimation_tpu.icp.dense import icp_track
+
+    kfs = odo.keyframes
+    if len(kfs) < min_gap + 2:
+        return []
+    centers = np.stack(
+        [-k.pose[:3, :3].T @ k.pose[:3, 3] for k in kfs]
+    )
+    cands = []
+    for a in range(len(kfs)):
+        for b in range(a + min_gap + 1, len(kfs)):
+            d = float(np.linalg.norm(centers[a] - centers[b]))
+            if d < max_dist:
+                cands.append((d, a, b))
+    cands.sort()
+    out = []
+    for d, a, b in cands[:max_candidates]:
+        # Initialize from current pose estimates: T_b→a = T_a T_b^-1.
+        T_init = jnp.asarray(
+            kfs[a].pose @ np.asarray(se3_inverse(jnp.asarray(kfs[b].pose)))
+        )
+        T_rel, stats = icp_track(
+            odo.cam, odo.icp_cfg, T_init, kfs[b].frame, kfs[a].frame
+        )
+        valid0 = float(
+            jnp.sum(jnp.sum(kfs[b].frame.normals[0] ** 2, axis=-1) > 0.5)
+        )
+        overlap = float(stats[1]) / max(valid0, 1.0)
+        if overlap > min_overlap:
+            out.append((a, b, np.asarray(T_rel), overlap))
+    return out
+
+
+def optimize_trajectory(odo, cfg: PoseGraphConfig = PoseGraphConfig()):
+    """Config-4 pipeline: keyframe graph (odometry + loop edges) → GN →
+    corrected full trajectory.
+
+    Non-keyframe poses are corrected rigidly with their parent keyframe:
+    each frame keeps its odometry-relative transform to the nearest earlier
+    keyframe, re-anchored on that keyframe's optimized pose.
+    """
+    kfs = odo.keyframes
+    if len(kfs) < 2:
+        return odo.trajectory()
+    kf_index_of = {k.index: n for n, k in enumerate(kfs)}
+
+    edges_i, edges_j, T_meas, weights = [], [], [], []
+    # Odometry edges: (frame j=new kf) → (frame i=old kf) relative transforms.
+    for i_frame, j_frame, T_rel in odo.odom_edges:
+        edges_i.append(kf_index_of[i_frame])
+        edges_j.append(kf_index_of[j_frame])
+        T_meas.append(T_rel)
+        weights.append(1.0 / cfg.odom_sigma**2)
+    for a, b, T_rel, overlap in detect_loop_closures(odo):
+        edges_i.append(a)
+        edges_j.append(b)
+        T_meas.append(T_rel)
+        weights.append(overlap / cfg.loop_sigma**2)
+
+    poses0 = jnp.asarray(np.stack([k.pose for k in kfs]))
+    T_opt, _ = optimize_pose_graph(
+        poses0,
+        jnp.asarray(edges_i, jnp.int32),
+        jnp.asarray(edges_j, jnp.int32),
+        jnp.asarray(np.stack(T_meas)),
+        jnp.asarray(weights, jnp.float32),
+        cfg,
+    )
+    T_opt = np.asarray(T_opt)
+
+    # Re-anchor every frame on its parent keyframe's optimized pose.
+    kf_indices = [k.index for k in kfs]
+    out = []
+    cur_kf = 0
+    for f, pose in enumerate(odo.poses):
+        while cur_kf + 1 < len(kf_indices) and kf_indices[cur_kf + 1] <= f:
+            cur_kf += 1
+        kf = kfs[cur_kf]
+        # pose = T_f (world→cam). Relative to keyframe: T_f·T_kf^-1 stays.
+        rel = pose @ np.asarray(se3_inverse(jnp.asarray(kf.pose)))
+        out.append(rel @ T_opt[cur_kf])
+    return np.stack(out)

@@ -1,0 +1,144 @@
+"""Dense projective point-to-plane ICP odometry (KinectFusion-style).
+
+HOT LOOP #2 (SURVEY.md §3.2): the reference runs nested C++ pixel loops per
+GN iteration; here each iteration is three fused device stages —
+
+1. warp: transform every source vertex by the current pose and project it
+   into the target camera (pure elementwise jnp);
+2. associate: bilinear-gather target vertices / nearest-gather normals at
+   the projected pixels (the one gather, kept in XLA — SURVEY.md hard-part
+   #4), gate by distance / normal-agreement / depth validity, weight by a
+   Huber robust kernel;
+3. accumulate: the fused Pallas kernel (ops/icp_jtj.py) reduces the
+   point-to-plane normal equations on-chip; a 6x6 LM-damped solve and an
+   SE(3) retraction finish the iteration.
+
+The pyramid is coarse-to-fine; iterations per level are static
+(``lax.scan``), so a whole multi-level track compiles to one XLA program
+with zero host round-trips. Pose convention: ``T`` maps source camera frame
+→ target camera frame.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+from rgbd_pose_estimation_tpu.core.lie import se3_exp
+from rgbd_pose_estimation_tpu.data.geometry import (
+    bilinear_sample,
+    build_pyramid,
+    nearest_sample,
+    normal_map,
+    vertex_map,
+)
+from rgbd_pose_estimation_tpu.ops.icp_jtj import icp_jtj_jtr, pack_icp_data
+from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+
+class IcpFrame(typing.NamedTuple):
+    """Per-level vertex/normal maps of one RGB-D frame (finest first)."""
+
+    vertices: tuple  # level → (H_l, W_l, 3)
+    normals: tuple  # level → (H_l, W_l, 3)
+
+
+def make_icp_frame(cam: CameraIntrinsics, depth: jnp.ndarray, cfg: IcpConfig) -> IcpFrame:
+    """Build the ICP pyramid for a depth image (device-side, jit-able)."""
+    depth = jnp.where(
+        (depth >= cfg.min_depth) & (depth <= cfg.max_depth), depth, 0.0
+    )
+    pyr = build_pyramid(depth, cfg.levels)
+    verts, norms = [], []
+    for lvl, d in enumerate(pyr):
+        c = cam.scaled(0.5**lvl)
+        v = vertex_map(c, d)
+        verts.append(v)
+        norms.append(normal_map(v))
+    return IcpFrame(vertices=tuple(verts), normals=tuple(norms))
+
+
+def _level_iteration(cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_v, tgt_n):
+    """Returns step(T) → (T', stats) for one pyramid level (closure is
+    compile-time; shapes static per level)."""
+
+    sv = src_v.reshape(-1, 3)
+    sn = src_n.reshape(-1, 3)
+    src_valid = (sv[:, 2] > 0) & (jnp.sum(sn * sn, axis=-1) > 0.5)
+
+    def step(T, _):
+        R, t = T[:3, :3], T[:3, 3]
+        p = sv @ R.T + t  # source vertices in target frame
+        n_src = sn @ R.T
+
+        z = jnp.maximum(p[:, 2], 1e-6)
+        u = cam_l.fx * p[:, 0] / z + cam_l.cx
+        v = cam_l.fy * p[:, 1] / z + cam_l.cy
+        uv = jnp.stack([u, v], axis=-1)
+
+        q, in_b = bilinear_sample(tgt_v, uv)
+        nt, _ = nearest_sample(tgt_n, uv)
+
+        diff = p - q
+        dist2 = jnp.sum(diff * diff, axis=-1)
+        ncos = jnp.sum(nt * n_src, axis=-1)
+        r = jnp.sum(nt * diff, axis=-1)
+
+        valid = (
+            src_valid
+            & in_b
+            & (p[:, 2] > 0)
+            & (q[:, 2] > 0)
+            & (jnp.sum(nt * nt, axis=-1) > 0.5)
+            & (dist2 < cfg.dist_threshold**2)
+            & (ncos > cfg.normal_threshold)
+        )
+        # Huber weight on the point-to-plane residual.
+        absr = jnp.abs(r)
+        w_rob = jnp.where(absr <= cfg.huber_delta, 1.0, cfg.huber_delta / jnp.maximum(absr, 1e-12))
+        w = jnp.where(valid, w_rob, 0.0)
+
+        data = pack_icp_data(p, q, nt, w)
+        JtJ, Jtr, err, wsum = icp_jtj_jtr(data)
+
+        H = JtJ + cfg.damping * jnp.eye(6, dtype=JtJ.dtype)
+        # Guard: if almost nothing associated, take no step.
+        ok = wsum > 50.0
+        delta = jnp.linalg.solve(H, -Jtr[:, None])[:, 0]
+        delta = jnp.where(ok, delta, jnp.zeros(6, dtype=delta.dtype))
+        T_new = se3_exp(delta) @ T
+        stats = jnp.stack([err, wsum])
+        return T_new, stats
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "cfg"))
+def icp_track(
+    cam: CameraIntrinsics,
+    cfg: IcpConfig,
+    T_init: jnp.ndarray,
+    src: IcpFrame,
+    tgt: IcpFrame,
+):
+    """Track source→target pose by coarse-to-fine projective ICP.
+
+    Returns ``(T, stats)`` where stats is ``(2,)``: final [robust error sum,
+    associated weight sum] at the finest level — the weight sum relative to
+    the pixel count is the overlap signal keyframe selection uses.
+    """
+    T = T_init
+    stats = jnp.zeros(2)
+    for lvl in range(cfg.levels - 1, -1, -1):
+        cam_l = cam.scaled(0.5**lvl)
+        step = _level_iteration(
+            cam_l, cfg, src.vertices[lvl], src.normals[lvl],
+            tgt.vertices[lvl], tgt.normals[lvl],
+        )
+        T, stats_seq = jax.lax.scan(step, T, None, length=cfg.iters_per_level[lvl])
+        stats = stats_seq[-1]
+    return T, stats

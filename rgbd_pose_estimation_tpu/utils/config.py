@@ -31,8 +31,8 @@ class RansacConfig:
 class IcpConfig:
     """Dense projective point-to-plane ICP (SURVEY.md L3)."""
 
-    levels: int = 3  # pyramid levels, coarse-to-fine
-    iters_per_level: tuple = (10, 7, 5)  # coarse → fine (len == levels)
+    levels: int = 3  # pyramid levels
+    iters_per_level: tuple = (5, 7, 10)  # indexed by level: finest first
     max_depth: float = 5.0
     min_depth: float = 0.1
     dist_threshold: float = 0.10  # association gate (meters)

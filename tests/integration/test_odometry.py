@@ -1,0 +1,53 @@
+"""Integration: dense odometry over a synthetic sequence, gated by ATE.
+
+This is the north-star metric gate in miniature (SURVEY.md §4.2): run the
+full frame-to-keyframe pipeline over a rendered sequence with known ground
+truth and assert the Umeyama-aligned ATE RMSE is below a stored bound.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+from rgbd_pose_estimation_tpu.data.synthetic import synthetic_sequence
+from rgbd_pose_estimation_tpu.eval.ate import ate_rmse, rpe
+from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
+from rgbd_pose_estimation_tpu.utils.config import IcpConfig, KeyframeConfig
+
+CAM = CameraIntrinsics(160.0, 160.0, 79.5, 59.5, 160, 120)
+CFG = IcpConfig(levels=3, iters_per_level=(4, 5, 8))
+
+
+class TestOdometry:
+    def test_sequence_ate_below_bound(self):
+        n = 15
+        poses_gt, depths, _ = synthetic_sequence(
+            CAM, jax.random.key(0), n, motion_scale=0.008
+        )
+        odo = DenseOdometry(CAM, CFG, KeyframeConfig(max_interval=5))
+        for i in range(n):
+            odo.process(np.asarray(depths[i]))
+        est = odo.trajectory()
+        gt = np.asarray(poses_gt)
+        # Camera centers for ATE: c = -R^T t.
+        def centers(T):
+            return -np.einsum("fji,fj->fi", T[:, :3, :3], T[:, :3, 3])
+
+        ate = ate_rmse(centers(est), centers(gt))
+        assert ate < 0.01, f"ATE {ate}"
+        r = rpe(est, gt)
+        assert r["trans_rmse"] < 0.01
+        assert r["rot_rmse"] < 0.02
+
+    def test_keyframes_created(self):
+        n = 12
+        _, depths, _ = synthetic_sequence(CAM, jax.random.key(1), n, motion_scale=0.01)
+        odo = DenseOdometry(CAM, CFG, KeyframeConfig(max_interval=4))
+        for i in range(n):
+            odo.process(np.asarray(depths[i]))
+        assert len(odo.keyframes) >= 3  # max_interval forces them
+        assert len(odo.odom_edges) == len(odo.keyframes) - 1
+        summary = odo.metrics.summary()
+        assert summary["num_frames"] == n
+        assert summary["frames_per_s"] > 0

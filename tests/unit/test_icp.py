@@ -1,0 +1,72 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+from rgbd_pose_estimation_tpu.core.lie import se3_exp, se3_inverse
+from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
+from rgbd_pose_estimation_tpu.icp import icp_track, make_icp_frame
+from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+# Small camera for fast CPU tests; geometry matches TUM aspect ratio.
+CAM = CameraIntrinsics(160.0, 160.0, 79.5, 59.5, 160, 120)
+CFG = IcpConfig(levels=3, iters_per_level=(4, 5, 8))
+
+
+def _frames(xi):
+    """Render the analytic scene from identity and from exp(xi)."""
+    T0 = jnp.eye(4)
+    T1 = se3_exp(jnp.asarray(xi, jnp.float32))
+    d0, _ = synthetic_depth_scene(CAM, T0)
+    d1, _ = synthetic_depth_scene(CAM, T1)
+    f0 = make_icp_frame(CAM, d0, CFG)
+    f1 = make_icp_frame(CAM, d1, CFG)
+    # Ground-truth source(frame0)→target(frame1) camera transform:
+    # x_c1 = T1 x_w and x_c0 = T0 x_w = x_w  →  T_01 = T1 T0^-1 = T1.
+    return f0, f1, T1
+
+
+class TestIcp:
+    def test_identity_stays_identity(self):
+        f0, _, _ = _frames([0.0] * 6)
+        T, stats = icp_track(CAM, CFG, jnp.eye(4), f0, f0)
+        np.testing.assert_allclose(np.asarray(T), np.eye(4), atol=1e-4)
+        assert float(stats[1]) > 1000  # plenty of associations
+
+    @pytest.mark.parametrize(
+        "xi",
+        [
+            [0.01, -0.005, 0.008, 0.004, -0.006, 0.003],
+            [-0.02, 0.01, 0.015, -0.008, 0.005, 0.01],
+        ],
+    )
+    def test_recovers_small_motion_from_identity_init(self, xi):
+        f0, f1, T_gt = _frames(xi)
+        T, stats = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
+        err = np.abs(np.asarray(T) - np.asarray(T_gt)).max()
+        assert err < 2e-3, err
+
+    def test_larger_motion_with_pyramid(self):
+        xi = [0.05, 0.03, -0.04, 0.02, -0.015, 0.02]
+        f0, f1, T_gt = _frames(xi)
+        T, _ = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
+        err = np.abs(np.asarray(T) - np.asarray(T_gt)).max()
+        assert err < 5e-3, err
+
+    def test_no_overlap_takes_no_wild_step(self):
+        # Target far away: associations gated out → pose stays near init.
+        f0, _, _ = _frames([0.0] * 6)
+        T_far = se3_exp(jnp.asarray([5.0, 0, 0, 0, 0, 0], jnp.float32))
+        d_far, _ = synthetic_depth_scene(CAM, T_far)
+        f_far = make_icp_frame(CAM, d_far, CFG)
+        T, stats = icp_track(CAM, CFG, jnp.eye(4), f0, f_far)
+        assert np.isfinite(np.asarray(T)).all()
+        # Translation must not explode beyond the scene scale.
+        assert np.linalg.norm(np.asarray(T[:3, 3])) < 1.0
+
+    def test_deterministic(self):
+        f0, f1, _ = _frames([0.01, 0.0, 0.0, 0.0, 0.005, 0.0])
+        a, _ = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
+        b, _ = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

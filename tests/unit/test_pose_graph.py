@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rgbd_pose_estimation_tpu.core.lie import (
+    se3_adjoint,
+    se3_exp,
+    se3_inverse,
+)
+from rgbd_pose_estimation_tpu.graph.pose_graph import optimize_pose_graph
+from rgbd_pose_estimation_tpu.utils.config import PoseGraphConfig
+
+
+def test_adjoint_identity():
+    xi = jnp.asarray(np.random.default_rng(0).normal(size=(8, 6)) * 0.5, jnp.float32)
+    T = se3_exp(xi)
+    delta = jnp.asarray(np.random.default_rng(1).normal(size=(8, 6)) * 0.01, jnp.float32)
+    # T exp(d) T^-1 == exp(Ad_T d)
+    lhs = T @ se3_exp(delta) @ se3_inverse(T)
+    rhs = se3_exp(jnp.einsum("bij,bj->bi", se3_adjoint(T), delta))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+
+
+def _ring_problem(k=12, noise=0.02, seed=0):
+    """A noisy loop: k poses around a circle, odometry edges + loop edge."""
+    rng = np.random.default_rng(seed)
+    angle = 2 * np.pi / k
+    # Ground truth: successive motions around a circle.
+    xi_step = np.asarray([0.3, 0.0, 0.0, 0.0, 0.0, angle], np.float32)
+    T_gt = [np.eye(4, dtype=np.float32)]
+    step = np.asarray(se3_exp(jnp.asarray(xi_step)))
+    for _ in range(k - 1):
+        T_gt.append(step @ T_gt[-1])
+    T_gt = np.stack(T_gt)
+
+    edges_i, edges_j, T_meas, w = [], [], [], []
+    for a in range(k - 1):
+        noise_xi = jnp.asarray(rng.normal(size=6) * noise, jnp.float32)
+        # measurement: camera j=a+1 → camera i=a, slightly corrupted
+        M = T_gt[a] @ np.asarray(se3_inverse(jnp.asarray(T_gt[a + 1])))
+        T_meas.append(np.asarray(se3_exp(noise_xi)) @ M)
+        edges_i.append(a)
+        edges_j.append(a + 1)
+        w.append(1.0)
+    # Loop closure: exact measurement from last back to first.
+    M = T_gt[0] @ np.asarray(se3_inverse(jnp.asarray(T_gt[-1])))
+    T_meas.append(M)
+    edges_i.append(0)
+    edges_j.append(k - 1)
+    w.append(10.0)
+
+    # Initial: integrate the noisy odometry (drift).
+    T0 = [np.eye(4, dtype=np.float32)]
+    for e in range(k - 1):
+        T0.append(np.asarray(se3_inverse(jnp.asarray(T_meas[e]))) @ T0[-1])
+    return (
+        T_gt,
+        jnp.asarray(np.stack(T0)),
+        jnp.asarray(edges_i, jnp.int32),
+        jnp.asarray(edges_j, jnp.int32),
+        jnp.asarray(np.stack(T_meas)),
+        jnp.asarray(w, jnp.float32),
+    )
+
+
+class TestPoseGraph:
+    def test_reduces_cost_and_closes_loop(self):
+        T_gt, T0, ei, ej, Tm, w = _ring_problem()
+        cfg = PoseGraphConfig(iters=15)
+        T_opt, costs = optimize_pose_graph(T0, ei, ej, Tm, w, cfg)
+        costs = np.asarray(costs)
+        assert costs[-1] < costs[0] * 0.5
+        # End-pose error vs ground truth shrinks after optimization.
+        err0 = np.linalg.norm(np.asarray(T0[-1]) - T_gt[-1])
+        err1 = np.linalg.norm(np.asarray(T_opt[-1]) - T_gt[-1])
+        assert err1 < err0 * 0.5
+
+    def test_perfect_input_is_fixed_point(self):
+        T_gt, _, ei, ej, _, w = _ring_problem(noise=0.0)
+        M = []
+        for a, b in zip(np.asarray(ei), np.asarray(ej)):
+            M.append(T_gt[a] @ np.asarray(se3_inverse(jnp.asarray(T_gt[b]))))
+        T_opt, costs = optimize_pose_graph(
+            jnp.asarray(T_gt), ei, ej, jnp.asarray(np.stack(M)), w,
+            PoseGraphConfig(iters=5),
+        )
+        np.testing.assert_allclose(np.asarray(costs), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(T_opt), T_gt, atol=1e-3)
+
+    def test_gauge_anchored(self):
+        _, T0, ei, ej, Tm, w = _ring_problem()
+        T_opt, _ = optimize_pose_graph(T0, ei, ej, Tm, w, PoseGraphConfig(iters=10))
+        np.testing.assert_allclose(np.asarray(T_opt[0]), np.asarray(T0[0]), atol=1e-3)
