@@ -1,0 +1,238 @@
+"""Schur-complement bundle adjustment, matrix-free and shardable.
+
+Driver config 5 (not in the reference — SURVEY.md §2.1 "new-build"). The
+design follows SURVEY.md §3.4 and the retrieved literature (PAPERS.md:
+Power-BA's inverse-free reduced solves motivate the matrix-free CG; the
+Stochastic-BA / PI-BA clustering ideas inform the sharding layout):
+
+- the reduced camera system  S = U − W V⁻¹ Wᵀ  is never materialized:
+  each CG matvec is two ``segment_sum`` sweeps over the observation array
+  (camera-side and landmark-side) plus a batched 3x3 solve — all dense
+  vectorized work that shards over observations;
+- per-landmark 3x3 blocks (V) are eliminated in closed form (HOT LOOP #4);
+- CG on the reduced system (HOT LOOP #5) runs a fixed iteration count under
+  ``lax.scan`` so the whole BA step is one XLA program;
+- gauge: camera 0 is frozen (its delta masked to zero).
+
+The same ``ba_step`` body runs **unchanged** under ``shard_map`` with
+observations sharded across a device mesh — every ``segment_sum`` is then
+followed by a ``psum`` (parallel/sharded.py) — which is exactly the
+"landmark blocks local, reduced camera contributions psum'd over ICI"
+layout of SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp
+from rgbd_pose_estimation_tpu.utils.config import BAConfig
+
+
+class BAProblem(typing.NamedTuple):
+    poses: jnp.ndarray  # (C, 4, 4) world→camera
+    points: jnp.ndarray  # (L, 3) world landmarks
+    cam_idx: jnp.ndarray  # (O,) int32
+    lm_idx: jnp.ndarray  # (O,) int32
+    obs: jnp.ndarray  # (O, 2) normalized-plane observations
+    w: jnp.ndarray  # (O,) observation weights (0 = padding)
+
+
+def _residual_jacobians(T, X, cam_idx, lm_idx, obs):
+    """Per-observation residual + camera/landmark Jacobians.
+
+    Returns r (O,2), Jc (O,2,6), Jl (O,2,3). Camera perturbation is a left
+    twist on T_c (same convention as pnp_refine); landmark Jacobian chains
+    through R_c.
+    """
+    Tc = T[cam_idx]  # (O, 4, 4)
+    Xl = X[lm_idx]  # (O, 3)
+    R = Tc[:, :3, :3]
+    Xc = jnp.einsum("oij,oj->oi", R, Xl) + Tc[:, :3, 3]
+    x, y, z = Xc[:, 0], Xc[:, 1], jnp.maximum(Xc[:, 2], 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    r = jnp.stack([x * iz - obs[:, 0], y * iz - obs[:, 1]], axis=-1)
+
+    zero = jnp.zeros_like(x)
+    Ju = jnp.stack([iz, zero, -x * iz2, -x * y * iz2, 1.0 + x * x * iz2, -y * iz], axis=-1)
+    Jv = jnp.stack([zero, iz, -y * iz2, -(1.0 + y * y * iz2), x * y * iz2, x * iz], axis=-1)
+    Jc = jnp.stack([Ju, Jv], axis=-2)  # (O, 2, 6)
+
+    # d r / d X_world = (d proj / d Xc) @ R.
+    P = jnp.stack(
+        [
+            jnp.stack([iz, zero, -x * iz2], axis=-1),
+            jnp.stack([zero, iz, -y * iz2], axis=-1),
+        ],
+        axis=-2,
+    )  # (O, 2, 3)
+    Jl = jnp.einsum("oai,oij->oaj", P, R)
+    return r, Jc, Jl
+
+
+def _huber_w(r, delta):
+    nrm = jnp.linalg.norm(r, axis=-1)
+    return jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12))
+
+
+def ba_step(prob: BAProblem, cfg: BAConfig, psum=None):
+    """One damped GN step with Schur elimination + matrix-free CG.
+
+    ``psum``: optional reduction applied after every observation-indexed
+    ``segment_sum`` — identity on one device, ``lax.psum`` under shard_map.
+    Returns the updated problem and the (pre-step) robust cost.
+    """
+    if psum is None:
+        psum = lambda x: x
+    T, X = prob.poses, prob.points
+    C, L = T.shape[0], X.shape[0]
+    lam = cfg.damping
+
+    r, Jc, Jl = _residual_jacobians(T, X, prob.cam_idx, prob.lm_idx, prob.obs)
+    w = prob.w * _huber_w(r, cfg.huber_delta)
+    cost = psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
+
+    wJc = Jc * w[:, None, None]
+    wJl = Jl * w[:, None, None]
+
+    def seg_cam(x):  # (O, ...) → (C, ...)
+        return psum(jax.ops.segment_sum(x, prob.cam_idx, num_segments=C))
+
+    def seg_lm(x):  # (O, ...) → (L, ...)
+        return psum(jax.ops.segment_sum(x, prob.lm_idx, num_segments=L))
+
+    U = seg_cam(jnp.einsum("oai,oaj->oij", wJc, Jc))  # (C, 6, 6)
+    V = seg_lm(jnp.einsum("oai,oaj->oij", wJl, Jl))  # (L, 3, 3)
+    bc = -seg_cam(jnp.einsum("oai,oa->oi", wJc, r))  # (C, 6)
+    bl = -seg_lm(jnp.einsum("oai,oa->oi", wJl, r))  # (L, 3)
+
+    U = U + lam * jnp.eye(6, dtype=T.dtype)
+    V = V + lam * jnp.eye(3, dtype=T.dtype)
+    Vinv = jnp.linalg.inv(V)  # batched 3x3
+
+    def cam_from_lm(u_l):
+        """y_c = Σ_obs Jcᵀ w Jl u_{l(o)}  — camera-side gather of landmark vec."""
+        t = jnp.einsum("oaj,oj->oa", Jl, u_l[prob.lm_idx])  # (O, 2)
+        return seg_cam(jnp.einsum("oai,oa->oi", wJc, t))
+
+    def lm_from_cam(x_c):
+        """t_l = Σ_obs Jlᵀ w Jc x_{c(o)}  — landmark-side gather of camera vec."""
+        t = jnp.einsum("oai,oi->oa", Jc, x_c[prob.cam_idx])  # (O, 2)
+        return seg_lm(jnp.einsum("oaj,oa->oj", wJl, t))
+
+    gauge_mask = (jnp.arange(C) > 0).astype(T.dtype)[:, None]
+
+    def S_matvec(x_c):
+        x_c = x_c * gauge_mask
+        ux = jnp.einsum("cij,cj->ci", U, x_c)
+        t_l = lm_from_cam(x_c)
+        u_l = jnp.einsum("lij,lj->li", Vinv, t_l)
+        y = ux - cam_from_lm(u_l)
+        return y * gauge_mask
+
+    rhs = (bc - cam_from_lm(jnp.einsum("lij,lj->li", Vinv, bl))) * gauge_mask
+
+    # Fixed-iteration CG on the reduced camera system (HOT LOOP #5).
+    def cg_body(carry, _):
+        x, rr, p = carry
+        Ap = S_matvec(p)
+        rr_dot = jnp.sum(rr * rr)
+        alpha = rr_dot / jnp.maximum(jnp.sum(p * Ap), 1e-20)
+        x = x + alpha * p
+        rr_new = rr - alpha * Ap
+        beta = jnp.sum(rr_new * rr_new) / jnp.maximum(rr_dot, 1e-20)
+        p = rr_new + beta * p
+        return (x, rr_new, p), None
+
+    x0 = jnp.zeros_like(rhs)
+    (dx_c, _, _), _ = jax.lax.scan(
+        cg_body, (x0, rhs, rhs), None, length=cfg.cg_iters
+    )
+    dx_c = dx_c * gauge_mask
+
+    # Back-substitute landmark updates (HOT LOOP #4's closure).
+    dl = jnp.einsum(
+        "lij,lj->li", Vinv, bl - lm_from_cam(dx_c)
+    )
+
+    T_new = se3_exp(dx_c) @ T
+    X_new = X + dl
+    return prob._replace(poses=T_new, points=X_new), cost
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig()):
+    """Run ``cfg.outer_iters`` damped GN steps; returns (problem, costs)."""
+
+    def body(p, _):
+        p2, cost = ba_step(p, cfg)
+        return p2, cost
+
+    out, costs = jax.lax.scan(body, prob, None, length=cfg.outer_iters)
+    return out, costs
+
+
+def reprojection_rmse(prob: BAProblem) -> jnp.ndarray:
+    r, _, _ = _residual_jacobians(
+        prob.poses, prob.points, prob.cam_idx, prob.lm_idx, prob.obs
+    )
+    m = prob.w > 0
+    return jnp.sqrt(
+        jnp.sum(jnp.where(m, jnp.sum(r * r, -1), 0.0)) / jnp.maximum(jnp.sum(m), 1)
+    )
+
+
+def make_synthetic_ba_problem(
+    key,
+    num_cameras: int = 8,
+    num_points: int = 200,
+    obs_per_point: int = 4,
+    pixel_noise: float = 0.001,
+    pose_noise: float = 0.01,
+    point_noise: float = 0.02,
+):
+    """Random BA problem with known ground truth + perturbed initialization.
+
+    Returns ``(problem_with_noisy_init, gt_poses, gt_points)``. Observations
+    are exact projections of the ground truth plus ``pixel_noise``.
+    """
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    # Cameras along a gentle arc looking at the landmark cloud.
+    xi = jax.random.normal(k1, (num_cameras, 6)) * 0.1
+    xi = xi.at[:, 0].add(jnp.linspace(-0.5, 0.5, num_cameras))
+    T_gt = se3_exp(xi).at[:, 2, 3].add(3.0)
+    X_gt = jax.random.uniform(k2, (num_points, 3), minval=-1.5, maxval=1.5)
+
+    cam_idx = (
+        jax.random.randint(k3, (num_points, obs_per_point), 0, num_cameras)
+        .reshape(-1)
+        .astype(jnp.int32)
+    )
+    lm_idx = jnp.repeat(
+        jnp.arange(num_points, dtype=jnp.int32), obs_per_point
+    )
+    Xc = jnp.einsum("oij,oj->oi", T_gt[cam_idx, :3, :3], X_gt[lm_idx]) + T_gt[
+        cam_idx, :3, 3
+    ]
+    z = jnp.maximum(Xc[:, 2], 1e-3)
+    obs = Xc[:, :2] / z[:, None] + pixel_noise * jax.random.normal(
+        k4, (len(cam_idx), 2)
+    )
+    w = (Xc[:, 2] > 0.2).astype(jnp.float32)
+
+    # Perturbed initialization (what odometry would hand BA).
+    dxi = jax.random.normal(k5, (num_cameras, 6)) * pose_noise
+    dxi = dxi.at[0].set(0.0)  # gauge camera stays
+    T0 = se3_exp(dxi) @ T_gt
+    X0 = X_gt + jax.random.normal(k6, (num_points, 3)) * point_noise
+    prob = BAProblem(
+        poses=T0, points=X0, cam_idx=cam_idx, lm_idx=lm_idx, obs=obs, w=w
+    )
+    return prob, T_gt, X_gt
