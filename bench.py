@@ -51,13 +51,28 @@ def main():
     err = float(jnp.abs(res.pose - T_gt).max())
     assert err < 0.05, f"benchmark estimator inaccurate: err={err}"
 
-    iters = 20
+    iters = 30
     keys = jax.random.split(jax.random.key(2), iters)
+    # Warm the dispatch path with the exact loop shape (the first pass over a
+    # fresh key batch pays one-time runtime costs on the axon tunnel).
+    for i in range(iters):
+        res = estimate_pose_3d3d(keys[i], p, q, cfg)
+    jax.block_until_ready(res.pose)
+
+    # Throughput: pipelined dispatch (frames stream in production; host→device
+    # dispatch overlaps device compute), one sync at the end.
     t0 = time.perf_counter()
     for i in range(iters):
         res = estimate_pose_3d3d(keys[i], p, q, cfg)
     jax.block_until_ready(res.pose)
     dt = (time.perf_counter() - t0) / iters
+
+    # Latency: fully synchronous single-estimate round trip.
+    t0 = time.perf_counter()
+    for i in range(5):
+        r2 = estimate_pose_3d3d(keys[i], p, q, cfg)
+        jax.block_until_ready(r2.pose)
+    dt_sync = (time.perf_counter() - t0) / 5
 
     hyp_per_s = cfg.num_hypotheses / dt
     print(
@@ -70,7 +85,8 @@ def main():
                 "detail": {
                     "num_hypotheses": cfg.num_hypotheses,
                     "num_correspondences": n_corr,
-                    "ms_per_estimate": round(dt * 1000.0, 3),
+                    "ms_per_estimate_pipelined": round(dt * 1000.0, 3),
+                    "ms_per_estimate_sync": round(dt_sync * 1000.0, 3),
                     "pose_max_err": round(err, 5),
                     "backend": jax.default_backend(),
                 },

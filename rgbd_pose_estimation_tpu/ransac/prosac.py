@@ -47,27 +47,57 @@ def prosac_windows(n: int, k: int, m: int) -> tuple:
 
 
 def sample_minimal_sets(
-    key, num_corr: int, num_hypotheses: int, sample_size: int, prosac: bool = True
+    key,
+    num_corr: int,
+    num_hypotheses: int,
+    sample_size: int,
+    prosac: bool = True,
+    method: str = "shifted",
 ) -> jnp.ndarray:
     """Draw ``(K, m)`` distinct correspondence indices for K hypotheses.
 
-    Gumbel-top-m: i.i.d. Gumbel noise per (hypothesis, correspondence),
-    indices outside hypothesis k's PROSAC window masked to -inf, ``top_k``
-    picks m distinct winners — exact sampling without replacement, uniform
-    within each window, in one vectorized op.
+    ``method="shifted"`` (default, O(K·m²)): classic sequential-shift
+    sampling without replacement — draw r_j uniform in [0, w-j) and shift it
+    past each previously-drawn index. Exactly uniform over distinct
+    m-subsets, and ~100x cheaper than the Gumbel path at production sizes
+    (the Gumbel top-k was the single largest cost in the whole RANSAC
+    estimator: a (K, N) noise matrix plus a K-row top-k sort).
+
+    ``method="gumbel"`` (O(K·N log N)): i.i.d. Gumbel noise per (hypothesis,
+    correspondence), windows masked to -inf, ``top_k`` picks m winners —
+    kept as the oracle for the sampler parity test.
     """
-    g = -jnp.log(
-        -jnp.log(
-            jax.random.uniform(
-                key, (num_hypotheses, num_corr), minval=1e-7, maxval=1.0 - 1e-7
-            )
-        )
-    )
     if prosac:
         win = jnp.asarray(
             prosac_windows(num_corr, num_hypotheses, sample_size), jnp.int32
         )
+    else:
+        win = jnp.full((num_hypotheses,), num_corr, jnp.int32)
+
+    if method == "gumbel":
+        g = -jnp.log(
+            -jnp.log(
+                jax.random.uniform(
+                    key, (num_hypotheses, num_corr), minval=1e-7, maxval=1.0 - 1e-7
+                )
+            )
+        )
         col = jnp.arange(num_corr)[None, :]
         g = jnp.where(col < win[:, None], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)
-    return idx
+        _, idx = jax.lax.top_k(g, sample_size)
+        return idx
+
+    u = jax.random.uniform(key, (num_hypotheses, sample_size))
+    w = win.astype(u.dtype)[:, None]
+    cols = []
+    for j in range(sample_size):
+        r = jnp.floor(u[:, j] * jnp.maximum(w[:, 0] - j, 1.0)).astype(jnp.int32)
+        r = jnp.minimum(r, jnp.maximum(win - j - 1, 0))
+        # Shift past previously drawn indices, in ascending order: each
+        # previous index ≤ the running value bumps it by one.
+        if cols:
+            prev = jnp.sort(jnp.stack(cols, axis=-1), axis=-1)
+            for jj in range(j):
+                r = r + (prev[:, jj] <= r).astype(jnp.int32)
+        cols.append(r)
+    return jnp.stack(cols, axis=-1)
