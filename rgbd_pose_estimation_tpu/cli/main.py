@@ -55,6 +55,26 @@ def build_parser():
                       help="resume from checkpoint next to --out")
     _common(odom)
 
+    ba = sub.add_parser("ba", help="bundle adjustment over keyframes (config 5)")
+    ba.add_argument("--dataset", required=True)
+    ba.add_argument("--out", required=True, help="TUM trajectory output")
+    ba.add_argument("--max-frames", type=int, default=0)
+    ba.add_argument("--intrinsics", default="tum_default",
+                    choices=["tum_default", "tum_fr1", "from_dataset"])
+    ba.add_argument("--mesh-devices", type=int, default=1,
+                    help="shard BA over this many devices (1 = single)")
+    ba.add_argument("--kf-interval", type=int, default=0,
+                    help="override keyframe max_interval")
+    ba.add_argument("--checkpoint", help="BA checkpoint path (enables resume)")
+    ba.add_argument("--resume", action="store_true")
+    ba.add_argument("--fail-at-iter", type=int, default=-1,
+                    help="TEST ONLY: raise after this BA iteration")
+    # Multi-host launch (one process per host):
+    ba.add_argument("--coordinator", help="host:port of process 0")
+    ba.add_argument("--num-processes", type=int, default=1)
+    ba.add_argument("--process-id", type=int, default=0)
+    _common(ba)
+
     ev = sub.add_parser("eval", help="ATE/RPE vs ground truth")
     ev.add_argument("--est", required=True)
     ev.add_argument("--gt", required=True)
@@ -176,6 +196,109 @@ def cmd_odom(args):
     return 0
 
 
+def cmd_ba(args):
+    cfg = _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
+    from rgbd_pose_estimation_tpu.ba.schur import ba_step, reprojection_rmse
+    from rgbd_pose_estimation_tpu.core.lie import se3_inverse
+    from rgbd_pose_estimation_tpu.data.tum import TumSequence
+    from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
+    from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
+    from rgbd_pose_estimation_tpu.parallel.mesh import distributed_init, make_mesh
+    from rgbd_pose_estimation_tpu.parallel.sharded import ba_step_sharded
+    from rgbd_pose_estimation_tpu.utils.checkpoint import (
+        load_ba_checkpoint,
+        save_ba_checkpoint,
+    )
+    from rgbd_pose_estimation_tpu.utils.config import MeshConfig
+
+    distributed_init(args.coordinator, args.num_processes, args.process_id)
+
+    seq = TumSequence(args.dataset)
+    cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+
+    # Front-end: dense odometry provides keyframes + initial poses.
+    kf_cfg = cfg.keyframe
+    if args.kf_interval > 0:
+        import dataclasses
+
+        kf_cfg = dataclasses.replace(kf_cfg, max_interval=args.kf_interval)
+    odo = DenseOdometry(cam, cfg.icp, kf_cfg)
+    grays, depths = [], []
+    for i in range(n):
+        _, gray, depth = seq.frame(i)
+        grays.append(gray)
+        depths.append(depth)
+        odo.process(depth, frame_index=i)
+    kf_idx = [k.index for k in odo.keyframes]
+    kf_poses = np.stack([k.pose for k in odo.keyframes])
+
+    prob, info = build_ba_problem(
+        cam,
+        [grays[i] for i in kf_idx],
+        [depths[i] for i in kf_idx],
+        kf_poses,
+        pad_to_multiple=max(8, args.mesh_devices),
+    )
+    rmse0 = float(reprojection_rmse(prob))
+
+    mesh = None
+    if args.mesh_devices > 1:
+        mesh = make_mesh(MeshConfig(hosts=1, chips_per_host=args.mesh_devices))
+
+    start_iter = 0
+    if args.resume and args.checkpoint:
+        state = load_ba_checkpoint(args.checkpoint)
+        if state is not None:
+            prob = prob._replace(
+                poses=jnp.asarray(state["poses"]), points=jnp.asarray(state["points"])
+            )
+            start_iter = int(state["iter"])
+            print(f"resumed BA at iteration {start_iter}", file=sys.stderr)
+
+    costs = []
+    for it in range(start_iter, cfg.ba.outer_iters):
+        if mesh is not None:
+            prob, cost = ba_step_sharded(mesh, prob, cfg.ba)
+        else:
+            prob, cost = ba_step(prob, cfg.ba)
+        costs.append(float(cost))
+        if args.checkpoint:
+            save_ba_checkpoint(
+                args.checkpoint,
+                poses=np.asarray(prob.poses),
+                points=np.asarray(prob.points),
+                iter=np.int64(it + 1),
+            )
+        if args.fail_at_iter == it:
+            raise RuntimeError(f"fault injection: failing after BA iteration {it}")
+    rmse1 = float(reprojection_rmse(prob))
+
+    # Re-anchor the full trajectory on the optimized keyframe poses.
+    T_opt = np.asarray(prob.poses)
+    out_poses = []
+    cur = 0
+    for f, pose in enumerate(odo.poses):
+        while cur + 1 < len(kf_idx) and kf_idx[cur + 1] <= f:
+            cur += 1
+        rel = pose @ np.asarray(se3_inverse(jnp.asarray(kf_poses[cur])))
+        out_poses.append(rel @ T_opt[cur])
+    if args.process_id == 0:
+        write_tum_trajectory(args.out, seq.timestamps[:n], np.stack(out_poses))
+    print(json.dumps({
+        **info,
+        "reproj_rmse_before": rmse0,
+        "reproj_rmse_after": rmse1,
+        "costs": costs,
+        "mesh_devices": args.mesh_devices,
+    }))
+    return 0
+
+
 def cmd_eval(args):
     _setup(args)
     from rgbd_pose_estimation_tpu.eval.ate import ate_rmse, rpe
@@ -217,7 +340,7 @@ def cmd_synth(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     return {"pair": cmd_pair, "odom": cmd_odom, "eval": cmd_eval,
-            "synth": cmd_synth}[args.cmd](args)
+            "synth": cmd_synth, "ba": cmd_ba}[args.cmd](args)
 
 
 if __name__ == "__main__":

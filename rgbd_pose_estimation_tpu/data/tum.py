@@ -61,14 +61,20 @@ class TumSequence:
 
     def frame(self, i: int):
         """Returns ``(timestamp, gray float32 (H,W) in [0,1], depth float32
-        meters)``; invalid depth is 0."""
-        import cv2
+        meters)``; invalid depth is 0.
 
-        rgb = cv2.imread(os.path.join(self.root, self.rgb_files[i]))
-        gray = cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
-        depth_raw = cv2.imread(
-            os.path.join(self.root, self.depth_files[i]), cv2.IMREAD_UNCHANGED
+        Decoding uses the native C++ core (data/native_loader.py — the
+        reference's OpenCV-C++-loader equivalent) with a transparent cv2
+        fallback.
+        """
+        from rgbd_pose_estimation_tpu.data.native_loader import (
+            decode_depth16,
+            decode_gray8,
         )
+
+        gray = decode_gray8(os.path.join(self.root, self.rgb_files[i]))
+        gray = gray.astype(np.float32) / 255.0
+        depth_raw = decode_depth16(os.path.join(self.root, self.depth_files[i]))
         depth = depth_raw.astype(np.float32) * self.depth_scale
         return float(self.timestamps[i]), gray, depth
 
