@@ -81,7 +81,7 @@ def build_ba_problem(
     poses = np.asarray(keyframe_poses, np.float32)
     inv_poses = np.asarray(se3_inverse(jnp.asarray(poses)))
 
-    cam_idx, lm_idx, obs, points = [], [], [], []
+    cam_idx, lm_idx, obs, obs_z, points = [], [], [], [], []
     n_landmark = 0
     for members in tracks.values():
         # One observation per keyframe (guard against self-matches).
@@ -116,12 +116,17 @@ def build_ba_problem(
             obs.append(
                 [(uv[0] - cam.cx) / cam.fx, (uv[1] - cam.cy) / cam.fy]
             )
+            # Measured depth at the keypoint (0 → RGB-only observation).
+            u0 = min(max(int(round(uv[0])), 0), cam.width - 1)
+            v0 = min(max(int(round(uv[1])), 0), cam.height - 1)
+            obs_z.append(float(keyframe_depths[k][v0, u0]))
 
     O = len(cam_idx)
     pad = (-O) % pad_to_multiple if O else pad_to_multiple
     cam_idx = np.asarray(cam_idx + [0] * pad, np.int32)
     lm_idx = np.asarray(lm_idx + [0] * pad, np.int32)
     obs = np.asarray(obs + [[0.0, 0.0]] * pad, np.float32)
+    obs_z = np.asarray(obs_z + [0.0] * pad, np.float32)
     w = np.asarray([1.0] * O + [0.0] * pad, np.float32)
     if n_landmark == 0:
         points = [np.zeros(3)]
@@ -134,6 +139,7 @@ def build_ba_problem(
         lm_idx=jnp.asarray(lm_idx),
         obs=jnp.asarray(obs),
         w=jnp.asarray(w),
+        obs_z=jnp.asarray(obs_z),
     )
     info = {
         "num_keyframes": K,

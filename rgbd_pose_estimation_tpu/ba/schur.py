@@ -42,14 +42,19 @@ class BAProblem(typing.NamedTuple):
     lm_idx: jnp.ndarray  # (O,) int32
     obs: jnp.ndarray  # (O, 2) normalized-plane observations
     w: jnp.ndarray  # (O,) observation weights (0 = padding)
+    obs_z: jnp.ndarray = None  # (O,) measured depth (m); 0/neg = RGB-only.
+    # RGB-D BA: the depth residual removes the scale-gauge freedom a pure
+    # reprojection BA has (scaling landmarks+translations about the gauge
+    # camera leaves pixel residuals unchanged — noise then drifts the scale).
 
 
-def _residual_jacobians(T, X, cam_idx, lm_idx, obs):
+def _residual_jacobians(T, X, cam_idx, lm_idx, obs, obs_z=None, depth_weight=1.0):
     """Per-observation residual + camera/landmark Jacobians.
 
-    Returns r (O,2), Jc (O,2,6), Jl (O,2,3). Camera perturbation is a left
-    twist on T_c (same convention as pnp_refine); landmark Jacobian chains
-    through R_c.
+    Returns r (O,3), Jc (O,3,6), Jl (O,3,3): two reprojection rows plus one
+    depth row  dw*(z - obs_z)  that is zeroed for RGB-only observations.
+    Camera perturbation is a left twist on T_c (same convention as
+    pnp_refine); landmark Jacobians chain through R_c.
     """
     Tc = T[cam_idx]  # (O, 4, 4)
     Xl = X[lm_idx]  # (O, 3)
@@ -58,21 +63,28 @@ def _residual_jacobians(T, X, cam_idx, lm_idx, obs):
     x, y, z = Xc[:, 0], Xc[:, 1], jnp.maximum(Xc[:, 2], 1e-6)
     iz = 1.0 / z
     iz2 = iz * iz
-    r = jnp.stack([x * iz - obs[:, 0], y * iz - obs[:, 1]], axis=-1)
+    if obs_z is None:
+        obs_z = jnp.zeros_like(z)
+    has_z = (obs_z > 0).astype(z.dtype) * depth_weight
+    rz = has_z * (z - obs_z)
+    r = jnp.stack([x * iz - obs[:, 0], y * iz - obs[:, 1], rz], axis=-1)
 
     zero = jnp.zeros_like(x)
     Ju = jnp.stack([iz, zero, -x * iz2, -x * y * iz2, 1.0 + x * x * iz2, -y * iz], axis=-1)
     Jv = jnp.stack([zero, iz, -y * iz2, -(1.0 + y * y * iz2), x * y * iz2, x * iz], axis=-1)
-    Jc = jnp.stack([Ju, Jv], axis=-2)  # (O, 2, 6)
+    # d z / d xi = row 3 of [I | -[Xc]x] = [0, 0, 1, y, -x, 0].
+    Jz = has_z[:, None] * jnp.stack([zero, zero, zero + 1.0, y, -x, zero], axis=-1)
+    Jc = jnp.stack([Ju, Jv, Jz], axis=-2)  # (O, 3, 6)
 
-    # d r / d X_world = (d proj / d Xc) @ R.
+    # d r / d X_world = (d [proj; z] / d Xc) @ R.
     P = jnp.stack(
         [
             jnp.stack([iz, zero, -x * iz2], axis=-1),
             jnp.stack([zero, iz, -y * iz2], axis=-1),
+            has_z[:, None] * jnp.stack([zero, zero, zero + 1.0], axis=-1),
         ],
         axis=-2,
-    )  # (O, 2, 3)
+    )  # (O, 3, 3)
     Jl = jnp.einsum("oai,oij->oaj", P, R)
     return r, Jc, Jl
 
@@ -95,7 +107,9 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None):
     C, L = T.shape[0], X.shape[0]
     lam = cfg.damping
 
-    r, Jc, Jl = _residual_jacobians(T, X, prob.cam_idx, prob.lm_idx, prob.obs)
+    r, Jc, Jl = _residual_jacobians(
+        T, X, prob.cam_idx, prob.lm_idx, prob.obs, prob.obs_z, cfg.depth_weight
+    )
     w = prob.w * _huber_w(r, cfg.huber_delta)
     cost = psum(jnp.sum(w * jnp.sum(r * r, axis=-1)))
 
@@ -179,10 +193,28 @@ def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig()):
     return out, costs
 
 
+def prune_observations(prob: BAProblem, max_residual: float, depth_weight=1.0) -> BAProblem:
+    """Zero the weight of observations with residual norm beyond a bound.
+
+    Wrong feature matches survive track building as high-residual
+    observations; left in, they drag BA *away* from a good initialization.
+    Standard practice is to prune between GN rounds — callers run a couple
+    of damped steps, prune, then continue (see models/slam.py, cli ba).
+    """
+    r, _, _ = _residual_jacobians(
+        prob.poses, prob.points, prob.cam_idx, prob.lm_idx, prob.obs,
+        prob.obs_z, depth_weight,
+    )
+    keep = jnp.linalg.norm(r, axis=-1) <= max_residual
+    return prob._replace(w=jnp.where(keep, prob.w, 0.0))
+
+
 def reprojection_rmse(prob: BAProblem) -> jnp.ndarray:
+    """Reprojection-only RMSE (depth rows excluded) over weighted obs."""
     r, _, _ = _residual_jacobians(
         prob.poses, prob.points, prob.cam_idx, prob.lm_idx, prob.obs
     )
+    r = r[:, :2]
     m = prob.w > 0
     return jnp.sqrt(
         jnp.sum(jnp.where(m, jnp.sum(r * r, -1), 0.0)) / jnp.maximum(jnp.sum(m), 1)
@@ -225,6 +257,7 @@ def make_synthetic_ba_problem(
     obs = Xc[:, :2] / z[:, None] + pixel_noise * jax.random.normal(
         k4, (len(cam_idx), 2)
     )
+    obs_z = Xc[:, 2] + pixel_noise * 2.0 * jax.random.normal(k4, (len(cam_idx),))
     w = (Xc[:, 2] > 0.2).astype(jnp.float32)
 
     # Perturbed initialization (what odometry would hand BA).
@@ -233,6 +266,7 @@ def make_synthetic_ba_problem(
     T0 = se3_exp(dxi) @ T_gt
     X0 = X_gt + jax.random.normal(k6, (num_points, 3)) * point_noise
     prob = BAProblem(
-        poses=T0, points=X0, cam_idx=cam_idx, lm_idx=lm_idx, obs=obs, w=w
+        poses=T0, points=X0, cam_idx=cam_idx, lm_idx=lm_idx, obs=obs, w=w,
+        obs_z=obs_z,
     )
     return prob, T_gt, X_gt

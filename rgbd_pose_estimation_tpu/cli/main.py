@@ -4,7 +4,9 @@ The reference ships example ``main.cpp`` drivers; the equivalents here:
 
   python -m rgbd_pose_estimation_tpu.cli.main pair  --dataset D --a 0 --b 3
   python -m rgbd_pose_estimation_tpu.cli.main odom  --dataset D --out traj.txt
-  python -m rgbd_pose_estimation_tpu.cli.main pg    --dataset D --out traj.txt
+                                                    [--pose-graph]  (config 4)
+  python -m rgbd_pose_estimation_tpu.cli.main ba    --dataset D --out traj.txt
+                                                    [--mesh-devices N] (config 5)
   python -m rgbd_pose_estimation_tpu.cli.main eval  --est traj.txt --gt gt.txt
   python -m rgbd_pose_estimation_tpu.cli.main synth --out D           (fixture)
 

@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 
-def run(max_devices: int = 8, use_cpu_mesh: bool = True):
+def run(max_devices: int = 8, use_cpu_mesh: bool = True,
+        hyp_per_device: int = 4096, points_per_device: int = 512, iters: int = 5):
     import os
 
     if use_cpu_mesh:
@@ -48,7 +49,7 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True):
     results = {}
     for n in sizes:
         mesh = make_mesh(MeshConfig(hosts=1, chips_per_host=n))
-        K = 4096 * n
+        K = hyp_per_device * n
         T = se3_exp(jax.random.normal(jax.random.key(0), (K, 6)) * 0.3)
         p = jax.random.normal(jax.random.key(1), (1024, 3))
         q = jax.random.normal(jax.random.key(2), (1024, 3))
@@ -59,14 +60,13 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True):
         out = score()
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        iters = 5
         for _ in range(iters):
             out = score()
         jax.block_until_ready(out)
         dt_score = (time.perf_counter() - t0) / iters
 
         prob, _, _ = make_synthetic_ba_problem(
-            jax.random.key(3), num_cameras=16, num_points=512 * n, obs_per_point=4
+            jax.random.key(3), num_cameras=16, num_points=points_per_device * n, obs_per_point=4
         )
         O = prob.cam_idx.shape[0]
         pad = (-O) % n
@@ -76,6 +76,7 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True):
                 lm_idx=jnp.pad(prob.lm_idx, (0, pad)),
                 obs=jnp.pad(prob.obs, ((0, pad), (0, 0))),
                 w=jnp.pad(prob.w, (0, pad)),
+                obs_z=jnp.pad(prob.obs_z, (0, pad)),
             )
         cfg = BAConfig(cg_iters=10)
 

@@ -45,13 +45,25 @@ class DenseOdometry:
         kf_cfg: KeyframeConfig = KeyframeConfig(),
         metrics: Optional[MetricsLogger] = None,
     ):
-        self.cam = cam
+        # Tracking runs at cam/downscale resolution (IcpConfig.downscale);
+        # self.cam is the TRACKING camera — loop-closure ICP and overlap
+        # bookkeeping stay consistent with the stored pyramids.
+        self.cam_full = cam
+        ds = icp_cfg.downscale
+        assert ds >= 1 and (ds & (ds - 1)) == 0, "downscale must be a power of 2"
+        self.cam = cam.scaled(1.0 / ds) if ds > 1 else cam
         self.icp_cfg = icp_cfg
         self.kf_cfg = kf_cfg
         self.metrics = metrics or MetricsLogger()
-        self._make_frame = jax.jit(
-            lambda d: make_icp_frame(cam, d, icp_cfg)
-        )
+
+        def _prep(d):
+            for _ in range(ds.bit_length() - 1):
+                from rgbd_pose_estimation_tpu.data.geometry import downsample_depth
+
+                d = downsample_depth(d)
+            return make_icp_frame(self.cam, d, icp_cfg)
+
+        self._make_frame = jax.jit(_prep)
         self.poses: List[np.ndarray] = []  # world→camera per frame
         self.keyframes: List[Keyframe] = []
         self.odom_edges: List[tuple] = []  # (kf_i, kf_j, T_ij) relative

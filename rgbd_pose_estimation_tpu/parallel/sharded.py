@@ -90,19 +90,13 @@ def ba_step_sharded(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
         return ba_step(p, cfg, psum=lambda x: jax.lax.psum(x, axes))
 
     obs_spec = P(axes)
-    in_specs = (
-        BAProblem(
-            poses=P(), points=P(), cam_idx=obs_spec, lm_idx=obs_spec,
-            obs=obs_spec, w=obs_spec,
-        ),
+    spec = BAProblem(
+        poses=P(), points=P(), cam_idx=obs_spec, lm_idx=obs_spec,
+        obs=obs_spec, w=obs_spec,
+        obs_z=obs_spec if prob.obs_z is not None else None,
     )
-    out_specs = (
-        BAProblem(
-            poses=P(), points=P(), cam_idx=obs_spec, lm_idx=obs_spec,
-            obs=obs_spec, w=obs_spec,
-        ),
-        P(),
-    )
+    in_specs = (spec,)
+    out_specs = (spec, P())
     f = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
     return f(prob)
 

@@ -33,6 +33,10 @@ class IcpConfig:
 
     levels: int = 3  # pyramid levels
     iters_per_level: tuple = (5, 7, 10)  # indexed by level: finest first
+    downscale: int = 1  # power-of-2 input downsample before tracking.
+    # Measured on 1x v5e (BASELINE.md): 640x480 tracks at 18 fps, 320x240
+    # (downscale=2) at 116 fps with equal accuracy on the synthetic scenes —
+    # 2 is the real-time production setting, 1 the max-quality setting.
     max_depth: float = 5.0
     min_depth: float = 0.1
     dist_threshold: float = 0.10  # association gate (meters)
@@ -59,6 +63,9 @@ class BAConfig:
     cg_iters: int = 30
     damping: float = 1e-4
     huber_delta: float = 0.01
+    depth_weight: float = 1.0  # weight of the RGB-D depth residual (1/m
+    #   units; 0 disables depth rows and reverts to pure reprojection BA —
+    #   which then has a free scale gauge, so keep it on for RGB-D)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,21 @@
+"""Smoke test: the weak-scaling harness runs and reports sane efficiencies."""
+
+import jax
+import pytest
+
+from rgbd_pose_estimation_tpu.eval.scaling import run
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs the virtual CPU mesh"
+)
+
+
+def test_scaling_harness_smoke():
+    report = run(max_devices=4, use_cpu_mesh=False,  # conftest already set cpu
+                 hyp_per_device=512, points_per_device=64, iters=2)
+    assert report["mesh_sizes"] == [1, 2, 4]
+    for n in report["mesh_sizes"]:
+        eff = report["efficiency"][n]
+        assert eff["score"] > 0 and eff["ba"] > 0
+    # Efficiency at n=1 is 1.0 by construction.
+    assert abs(report["efficiency"][1]["score"] - 1.0) < 1e-9
