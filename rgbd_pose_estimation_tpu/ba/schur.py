@@ -26,12 +26,10 @@ from __future__ import annotations
 import functools
 import typing
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
-from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp
+from rgbd_pose_estimation_tpu.core.lie import se3_exp
 from rgbd_pose_estimation_tpu.utils.config import BAConfig
 
 

@@ -15,7 +15,6 @@ testable hermetically (no network, SURVEY.md §0).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -14,8 +14,6 @@ import argparse
 import json
 import time
 
-import numpy as np
-
 
 def run(max_devices: int = 8, use_cpu_mesh: bool = True,
         hyp_per_device: int = 4096, points_per_device: int = 512, iters: int = 5):

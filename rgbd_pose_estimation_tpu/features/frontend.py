@@ -13,8 +13,6 @@ with a validity mask, so downstream jit programs never retrace.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

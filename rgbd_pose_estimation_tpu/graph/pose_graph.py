@@ -33,7 +33,7 @@ from rgbd_pose_estimation_tpu.core.lie import (
     se3_inverse,
     se3_log,
 )
-from rgbd_pose_estimation_tpu.utils.config import IcpConfig, PoseGraphConfig
+from rgbd_pose_estimation_tpu.utils.config import PoseGraphConfig
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
 from rgbd_pose_estimation_tpu.features.frontend import matched_2d3d, matched_3d3d
 from rgbd_pose_estimation_tpu.ransac.engine import (
-    RansacResult,
     estimate_pose_2d3d,
     estimate_pose_3d3d,
     pad_correspondences_3d3d,

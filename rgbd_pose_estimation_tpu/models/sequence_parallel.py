@@ -17,7 +17,7 @@ overlap instead of trusting a single frame.
 from __future__ import annotations
 
 import concurrent.futures
-from typing import Callable, List, Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 

@@ -10,7 +10,6 @@ class is deliberately just composition + bookkeeping.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import List, Optional
 
 import numpy as np

@@ -24,7 +24,6 @@ from typing import Optional
 import numpy as np
 
 import jax
-from jax.experimental import mesh_utils
 from jax.sharding import Mesh
 
 from rgbd_pose_estimation_tpu.utils.config import MeshConfig

@@ -12,8 +12,6 @@ spans hosts (DCN) when the mesh does. Nothing here opens a socket.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

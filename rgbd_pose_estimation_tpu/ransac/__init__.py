@@ -2,6 +2,7 @@ from rgbd_pose_estimation_tpu.ransac.prosac import prosac_windows, sample_minima
 from rgbd_pose_estimation_tpu.ransac.engine import (
     RansacResult,
     estimate_pose_3d3d,
+    estimate_pose_3d3d_normals,
     estimate_pose_2d3d,
 )
 
@@ -10,5 +11,6 @@ __all__ = [
     "sample_minimal_sets",
     "RansacResult",
     "estimate_pose_3d3d",
+    "estimate_pose_3d3d_normals",
     "estimate_pose_2d3d",
 ]

@@ -64,8 +64,6 @@ def load_odometry_checkpoint(path: str, odo, seq) -> int:
         return 0
     import jax.numpy as jnp
 
-    from rgbd_pose_estimation_tpu.models.odometry import Keyframe
-
     z = np.load(path)
     odo.poses = list(z["poses"])
     for idx, pose in zip(z["kf_idx"], z["kf_poses"]):

@@ -111,3 +111,25 @@ class TestRansac2D3D:
         cfg = RansacConfig(num_hypotheses=1024, threshold=0.01)
         res = estimate_pose_2d3d(jax.random.key(3), pts, obs, cfg)
         assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.05
+
+
+class TestRansacNormals:
+    def test_2pt_normal_engine_under_heavy_outliers(self):
+        from rgbd_pose_estimation_tpu.ransac import estimate_pose_3d3d_normals
+
+        rng = np.random.default_rng(0)
+        T = se3_exp(jnp.asarray(rng.normal(size=6) * 0.5, jnp.float32))
+        n = 300
+        p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        n_p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        n_p = n_p / jnp.linalg.norm(n_p, axis=-1, keepdims=True)
+        q = se3_apply(T[None], p[None])[0]
+        n_q = jnp.einsum("ij,nj->ni", T[:3, :3], n_p)
+        out = jnp.asarray(rng.uniform(size=n) < 0.7)
+        q = jnp.where(out[:, None], jnp.asarray(rng.uniform(-2, 2, size=(n, 3)), jnp.float32), q)
+        n_bad = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        n_q = jnp.where(out[:, None], n_bad / jnp.linalg.norm(n_bad, axis=-1, keepdims=True), n_q)
+        cfg = RansacConfig(num_hypotheses=512, threshold=0.05, sample_size=2)
+        res = estimate_pose_3d3d_normals(jax.random.key(1), p, q, n_p, n_q, cfg)
+        assert bool(res.valid)
+        assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.02
