@@ -42,7 +42,7 @@ def build_parser():
     pair.add_argument("--b", type=int, default=1)
     pair.add_argument("--mode", choices=["3d3d", "2d3d"], default="3d3d")
     pair.add_argument("--intrinsics", default="tum_default",
-                      choices=["tum_default", "tum_fr1", "from_dataset"])
+                      choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
     _common(pair)
 
     odom = sub.add_parser("odom", help="dense ICP odometry (config 3)")
@@ -50,7 +50,7 @@ def build_parser():
     odom.add_argument("--out", required=True, help="TUM trajectory output")
     odom.add_argument("--max-frames", type=int, default=0)
     odom.add_argument("--intrinsics", default="tum_default",
-                      choices=["tum_default", "tum_fr1", "from_dataset"])
+                      choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
     odom.add_argument("--pose-graph", action="store_true",
                       help="optimize keyframe pose graph at the end (config 4)")
     odom.add_argument("--resume", action="store_true",
@@ -62,7 +62,7 @@ def build_parser():
     ba.add_argument("--out", required=True, help="TUM trajectory output")
     ba.add_argument("--max-frames", type=int, default=0)
     ba.add_argument("--intrinsics", default="tum_default",
-                    choices=["tum_default", "tum_fr1", "from_dataset"])
+                    choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
     ba.add_argument("--mesh-devices", type=int, default=1,
                     help="shard BA over this many devices (1 = single)")
     ba.add_argument("--kf-interval", type=int, default=0,
@@ -111,6 +111,10 @@ def _intrinsics(name, cam_from_dataset=None):
 
     if name == "tum_fr1":
         return CameraIntrinsics.tum_fr1()
+    if name == "icl_nuim":
+        from rgbd_pose_estimation_tpu.data.icl_nuim import icl_nuim_intrinsics
+
+        return icl_nuim_intrinsics()
     if name == "from_dataset" and cam_from_dataset is not None:
         return cam_from_dataset
     return CameraIntrinsics.tum_default()
@@ -133,10 +137,10 @@ def cmd_pair(args):
     cfg = _setup(args)
     import jax
 
-    from rgbd_pose_estimation_tpu.data.tum import TumSequence
+    from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
     from rgbd_pose_estimation_tpu.models.frame_pair import FramePairEstimator
 
-    seq = TumSequence(args.dataset)
+    seq = open_sequence(args.dataset)
     cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
     _, ga, da = seq.frame(args.a)
     _, gb, db = seq.frame(args.b)
@@ -156,13 +160,13 @@ def cmd_pair(args):
 def cmd_odom(args):
     cfg = _setup(args)
     from rgbd_pose_estimation_tpu.data.prefetch import PrefetchIterator
-    from rgbd_pose_estimation_tpu.data.tum import TumSequence
+    from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
     from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
     from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
     from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
     from rgbd_pose_estimation_tpu.utils.timing import trace_context
 
-    seq = TumSequence(args.dataset)
+    seq = open_sequence(args.dataset)
     cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     metrics = MetricsLogger(args.metrics)
@@ -206,7 +210,7 @@ def cmd_ba(args):
     from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
     from rgbd_pose_estimation_tpu.ba.schur import ba_step, reprojection_rmse
     from rgbd_pose_estimation_tpu.core.lie import se3_inverse
-    from rgbd_pose_estimation_tpu.data.tum import TumSequence
+    from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
     from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
     from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
     from rgbd_pose_estimation_tpu.parallel.mesh import distributed_init, make_mesh
@@ -219,7 +223,7 @@ def cmd_ba(args):
 
     distributed_init(args.coordinator, args.num_processes, args.process_id)
 
-    seq = TumSequence(args.dataset)
+    seq = open_sequence(args.dataset)
     cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
 
