@@ -41,6 +41,8 @@ def build_parser():
     pair.add_argument("--a", type=int, default=0)
     pair.add_argument("--b", type=int, default=1)
     pair.add_argument("--mode", choices=["3d3d", "2d3d"], default="3d3d")
+    pair.add_argument("--detector", choices=["orb", "tpu"], default="orb",
+                      help="orb = host OpenCV; tpu = on-device FAST+BRIEF")
     pair.add_argument("--intrinsics", default="tum_default",
                       choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
     _common(pair)
@@ -144,7 +146,8 @@ def cmd_pair(args):
     cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
     _, ga, da = seq.frame(args.a)
     _, gb, db = seq.frame(args.b)
-    est = FramePairEstimator(cam, cfg.ransac, mode=args.mode)
+    est = FramePairEstimator(cam, cfg.ransac, mode=args.mode,
+                             detector=args.detector)
     out = est.estimate(ga, da, gb, db if args.mode == "3d3d" else None,
                        key=jax.random.key(0))
     print(json.dumps({

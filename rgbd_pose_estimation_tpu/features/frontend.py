@@ -72,6 +72,16 @@ def match_descriptors(desc_a, valid_a, desc_b, valid_b, ratio: float = 0.8):
     return idx_b, good, quality
 
 
+def _detect(gray, max_features: int, detector: str):
+    """Dispatch: ``"orb"`` = host OpenCV (reference parity), ``"tpu"`` =
+    on-device FAST+BRIEF (features/tpu_detect.py), same output contract."""
+    if detector == "tpu":
+        from rgbd_pose_estimation_tpu.features.tpu_detect import detect_tpu
+
+        return detect_tpu(gray, max_features)
+    return detect_orb(gray, max_features)
+
+
 def _depth_at(depth: np.ndarray, uv: np.ndarray):
     u = np.clip(np.round(uv[:, 0]).astype(int), 0, depth.shape[1] - 1)
     v = np.clip(np.round(uv[:, 1]).astype(int), 0, depth.shape[0] - 1)
@@ -85,15 +95,15 @@ def _sorted_by_quality(quality, good):
 
 
 def matched_3d3d(cam: CameraIntrinsics, gray_a, depth_a, gray_b, depth_b,
-                 max_features: int = 512):
+                 max_features: int = 512, detector: str = "orb"):
     """Full front-end for the 3D-3D path: ``(p, q)`` quality-sorted numpy.
 
     Back-projects matched keypoints through both depth maps; matches whose
     depth is invalid in either frame are dropped. Output order is PROSAC's
     descending-quality order (SURVEY.md §3.1 call stack).
     """
-    uv_a, d_a, va = detect_orb(gray_a, max_features)
-    uv_b, d_b, vb = detect_orb(gray_b, max_features)
+    uv_a, d_a, va = _detect(gray_a, max_features, detector)
+    uv_b, d_b, vb = _detect(gray_b, max_features, detector)
     idx_b, good, quality = match_descriptors(
         jnp.asarray(d_a), jnp.asarray(va), jnp.asarray(d_b), jnp.asarray(vb)
     )
@@ -124,11 +134,11 @@ def matched_3d3d(cam: CameraIntrinsics, gray_a, depth_a, gray_b, depth_b,
 
 
 def matched_2d3d(cam: CameraIntrinsics, gray_a, depth_a, gray_b,
-                 max_features: int = 512):
+                 max_features: int = 512, detector: str = "orb"):
     """Front-end for the 2D-3D (PnP) path: 3D points in frame A's camera
     frame + normalized observations in frame B, quality-sorted."""
-    uv_a, d_a, va = detect_orb(gray_a, max_features)
-    uv_b, d_b, vb = detect_orb(gray_b, max_features)
+    uv_a, d_a, va = _detect(gray_a, max_features, detector)
+    uv_b, d_b, vb = _detect(gray_b, max_features, detector)
     idx_b, good, quality = match_descriptors(
         jnp.asarray(d_a), jnp.asarray(va), jnp.asarray(d_b), jnp.asarray(vb)
     )

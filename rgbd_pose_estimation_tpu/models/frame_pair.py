@@ -2,7 +2,8 @@
 
 End-to-end realization of SURVEY.md §3.1's call stack (driver configs 1-2):
 
-  host: ORB detect/describe (OpenCV, like the reference)
+  detect/describe: host OpenCV ORB (reference parity, default) or the
+  on-device FAST+BRIEF detector (``detector="tpu"``, features/tpu_detect.py)
   device, ONE jit region: descriptor matching → PROSAC sampling → batched
   minimal solves → Pallas MSAC scoring → argmin → weighted refit
 
@@ -50,6 +51,7 @@ class FramePairEstimator:
     mode: str = "3d3d"  # or "2d3d"
     max_features: int = 512
     max_corr: int = 512
+    detector: str = "orb"  # "orb" (host OpenCV) or "tpu" (on-device FAST+BRIEF)
 
     def estimate(self, gray_a, depth_a, gray_b, depth_b=None, key=None) -> FramePairEstimate:
         """Estimate the pose taking frame-A camera points to frame B."""
@@ -59,7 +61,8 @@ class FramePairEstimator:
             if depth_b is None:
                 raise ValueError("3d3d mode needs depth for both frames")
             p, q = matched_3d3d(
-                self.cam, gray_a, depth_a, gray_b, depth_b, self.max_features
+                self.cam, gray_a, depth_a, gray_b, depth_b, self.max_features,
+                detector=self.detector,
             )
             n = min(len(p), self.max_corr)
             # Static shape: truncate to max_corr and pad with the engine's
@@ -70,7 +73,8 @@ class FramePairEstimator:
             res = estimate_pose_3d3d(key, p_pad, q_pad, self.cfg)
         else:
             pts, obs = matched_2d3d(
-                self.cam, gray_a, depth_a, gray_b, self.max_features
+                self.cam, gray_a, depth_a, gray_b, self.max_features,
+                detector=self.detector,
             )
             n = min(len(pts), self.max_corr)
             pts_pad, obs_pad = pad_points_obs_2d3d(
