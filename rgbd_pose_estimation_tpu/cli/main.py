@@ -162,8 +162,8 @@ def cmd_pair(args):
 
 def cmd_odom(args):
     cfg = _setup(args)
-    from rgbd_pose_estimation_tpu.data.prefetch import PrefetchIterator
     from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
+    from rgbd_pose_estimation_tpu.data.prefetch import sequence_prefetcher
     from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
     from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
     from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
@@ -184,7 +184,7 @@ def cmd_odom(args):
         print(f"resumed at frame {start}", file=sys.stderr)
 
     with trace_context(args.trace_dir):
-        loader = PrefetchIterator(lambda i: seq.frame(start + i), n - start)
+        loader = sequence_prefetcher(seq, start, n - start)
         for k, (ts, gray, depth) in enumerate(loader):
             odo.process(depth, frame_index=start + k)
             if (start + k + 1) % 50 == 0:

@@ -38,3 +38,59 @@ class PrefetchIterator:
             if item is None and self._error is not None:
                 raise self._error
             yield item
+
+
+def sequence_prefetcher(seq, start: int, n: int, n_threads: int = 4):
+    """Best prefetching iterator for ``seq``: yields ``(ts, gray, depth)``.
+
+    PNG-backed sequences (TUM / ICL TUM-compatible) stream through the
+    native C++ decode pool (`native_loader.NativePrefetcher`) — parallel
+    inflate off the GIL — with float conversion done here on the consumer
+    side. Anything else (raw ICL text depth, missing native lib, odd PNG
+    formats) falls back to the Python single-thread `PrefetchIterator`
+    over ``seq.frame``; both paths yield identical values.
+    """
+    import os
+
+    import numpy as np
+
+    from rgbd_pose_estimation_tpu.data import native_loader as nl
+
+    def _fallback():
+        return PrefetchIterator(lambda i: seq.frame(start + i), n)
+
+    rgb_files = getattr(seq, "rgb_files", None)
+    depth_files = getattr(seq, "depth_files", None)
+    root = getattr(seq, "root", None)
+    scale = getattr(seq, "depth_scale", None)
+    if (
+        rgb_files is None
+        or depth_files is None
+        or scale is None
+        or not nl.native_available()
+        or not str(depth_files[start]).endswith(".png")
+    ):
+        return _fallback()
+
+    rgb = [os.path.join(root, f) for f in rgb_files[start : start + n]]
+    dep = [os.path.join(root, f) for f in depth_files[start : start + n]]
+    try:
+        w, h, ch, bd = nl.png_dims(dep[0])
+        if (ch, bd) != (1, 16) or nl.png_dims(rgb[0])[:2] != (w, h):
+            return _fallback()
+        pf = nl.NativePrefetcher(rgb, dep, w, h, n_threads=n_threads)
+    except Exception:
+        return _fallback()
+
+    ts = seq.timestamps
+
+    def _gen():
+        with pf:
+            for i, gray_u8, depth_u16 in pf:
+                yield (
+                    float(ts[start + i]),
+                    gray_u8.astype(np.float32) / 255.0,
+                    depth_u16.astype(np.float32) * scale,
+                )
+
+    return _gen()

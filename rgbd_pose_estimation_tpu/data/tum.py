@@ -135,4 +135,7 @@ def write_synthetic_tum(
     with open(os.path.join(root, "depth.txt"), "w") as f:
         f.write("# ts filename\n" + "\n".join(depth_lines) + "\n")
     write_tum_trajectory(os.path.join(root, "groundtruth.txt"), ts, poses)
+    # Record the render camera so CLI `--intrinsics from_dataset` is exact.
+    with open(os.path.join(root, "intrinsics.txt"), "w") as f:
+        f.write(f"{cam.fx} {cam.fy} {cam.cx} {cam.cy} {cam.width} {cam.height}\n")
     return cam

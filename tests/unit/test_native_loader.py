@@ -54,3 +54,76 @@ class TestNativeLoader:
             pytest.skip("native lib unavailable")
         with pytest.raises(IOError):
             decode_depth16("/nonexistent/never.png")
+
+
+class TestNativePrefetcher:
+    """The C++ ring-buffer decode pool (ABI v2 rgbd_loader_*)."""
+
+    def _make_seq(self, tmp_path, n=10, size=(96, 72)):
+        from rgbd_pose_estimation_tpu.data.tum import TumSequence, write_synthetic_tum
+
+        root = str(tmp_path / "tum")
+        write_synthetic_tum(root, n_frames=n, size=size)
+        return TumSequence(root)
+
+    def test_matches_sequential_decode(self, tmp_path):
+        from rgbd_pose_estimation_tpu.data.prefetch import sequence_prefetcher
+
+        seq = self._make_seq(tmp_path)
+        got = list(sequence_prefetcher(seq, 0, len(seq)))
+        assert len(got) == len(seq)
+        for i in range(len(seq)):
+            ts, g, d = seq.frame(i)
+            assert got[i][0] == ts
+            np.testing.assert_array_equal(got[i][1], g)
+            np.testing.assert_array_equal(got[i][2], d)
+
+    def test_start_offset(self, tmp_path):
+        from rgbd_pose_estimation_tpu.data.prefetch import sequence_prefetcher
+
+        seq = self._make_seq(tmp_path, n=8)
+        got = list(sequence_prefetcher(seq, 3, 4))
+        assert len(got) == 4
+        ts, g, d = seq.frame(5)
+        np.testing.assert_array_equal(got[2][2], d)
+
+    def test_many_threads_small_queue_ordered(self, tmp_path):
+        """More workers than slots exercises the ring back-pressure path."""
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        import os
+
+        from rgbd_pose_estimation_tpu.data.native_loader import NativePrefetcher
+
+        seq = self._make_seq(tmp_path, n=16)
+        rgb = [os.path.join(seq.root, f) for f in seq.rgb_files]
+        dep = [os.path.join(seq.root, f) for f in seq.depth_files]
+        with NativePrefetcher(rgb, dep, 96, 72, queue_depth=2, n_threads=8) as pf:
+            idxs = [i for i, _, _ in pf]
+        assert idxs == list(range(16))
+
+    def test_decode_error_surfaces(self, tmp_path):
+        if not native_available():
+            pytest.skip("native lib unavailable")
+        from rgbd_pose_estimation_tpu.data.native_loader import NativePrefetcher
+
+        with NativePrefetcher(
+            ["/nonexistent/a.png"], ["/nonexistent/b.png"], 8, 8
+        ) as pf:
+            with pytest.raises(IOError):
+                pf.next()
+
+    def test_raw_icl_falls_back_to_python_path(self, tmp_path):
+        from rgbd_pose_estimation_tpu.data.icl_nuim import (
+            IclNuimSequence,
+            write_synthetic_icl,
+        )
+        from rgbd_pose_estimation_tpu.data.prefetch import sequence_prefetcher
+
+        root = str(tmp_path / "icl")
+        cam = write_synthetic_icl(root, n_frames=3, size=(64, 48))
+        seq = IclNuimSequence(root, cam)
+        got = list(sequence_prefetcher(seq, 0, 3))
+        assert len(got) == 3
+        _, _, d = seq.frame(1)
+        np.testing.assert_array_equal(got[1][2], d)
