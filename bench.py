@@ -75,6 +75,32 @@ def main():
     dt_sync = (time.perf_counter() - t0) / 5
 
     hyp_per_s = cfg.num_hypotheses / dt
+
+    # Second north-star kernel: dense-ICP track at full 640x480, device time
+    # (3-level pyramid, (5,7,10) GN iterations, packed nearest association).
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+    from rgbd_pose_estimation_tpu.core.lie import se3_exp
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
+    from rgbd_pose_estimation_tpu.icp.dense import icp_track, make_icp_frame
+    from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+    cam = CameraIntrinsics(525.0, 525.0, 319.5, 239.5, 640, 480)
+    icfg = IcpConfig(downscale=1)
+    T_gt = se3_exp(jnp.asarray([0.01, -0.008, 0.005, 0.01, -0.012, 0.008]))
+    da, _ = synthetic_depth_scene(cam, jnp.eye(4))
+    db, _ = synthetic_depth_scene(cam, T_gt)
+    mk = jax.jit(lambda d: make_icp_frame(cam, d, icfg))
+    fa, fb = mk(da), mk(db)
+    out = icp_track(cam, icfg, jnp.eye(4), fb, fa)
+    # float() fetch also pins the runtime to confirmed-execution timing.
+    icp_err = float(jnp.abs(out[0] @ T_gt - jnp.eye(4)).max())
+    assert icp_err < 0.05, f"icp benchmark inaccurate: {icp_err}"
+    t0 = time.perf_counter()
+    for _ in range(20):
+        out = icp_track(cam, icfg, jnp.eye(4), fb, fa)
+    jax.block_until_ready(out)
+    icp_ms = (time.perf_counter() - t0) / 20 * 1000.0
+
     print(
         json.dumps(
             {
@@ -88,6 +114,8 @@ def main():
                     "ms_per_estimate_pipelined": round(dt * 1000.0, 3),
                     "ms_per_estimate_sync": round(dt_sync * 1000.0, 3),
                     "pose_max_err": round(err, 5),
+                    "icp_track_640x480_ms": round(icp_ms, 2),
+                    "icp_track_640x480_fps": round(1000.0 / icp_ms, 1),
                     "backend": jax.default_backend(),
                 },
             }

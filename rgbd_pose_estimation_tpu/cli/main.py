@@ -173,7 +173,8 @@ def cmd_odom(args):
     cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     metrics = MetricsLogger(args.metrics)
-    odo = DenseOdometry(cam, cfg.icp, cfg.keyframe, metrics)
+    odo = DenseOdometry(cam, cfg.icp, cfg.keyframe, metrics,
+                        depth_scale=getattr(seq, "depth_scale", 1.0 / 5000.0))
 
     start = 0
     ckpt_path = args.out + ".ckpt.npz"
@@ -184,15 +185,15 @@ def cmd_odom(args):
         print(f"resumed at frame {start}", file=sys.stderr)
 
     with trace_context(args.trace_dir):
-        loader = sequence_prefetcher(seq, start, n - start)
-        for k, (ts, gray, depth) in enumerate(loader):
-            odo.process(depth, frame_index=start + k)
-            if (start + k + 1) % 50 == 0:
+        loader = sequence_prefetcher(seq, start, n - start, device_depth=True)
+        depths = (depth for _, _, depth in loader)
+        for i, _pose in odo.process_stream(depths, start_index=start):
+            if (i + 1) % 50 == 0:
                 from rgbd_pose_estimation_tpu.utils.checkpoint import (
                     save_odometry_checkpoint,
                 )
 
-                save_odometry_checkpoint(ckpt_path, odo, start + k + 1)
+                save_odometry_checkpoint(ckpt_path, odo, i + 1)
     write_tum_trajectory(args.out, seq.timestamps[:n], np.stack(odo.poses))
 
     if args.pose_graph:

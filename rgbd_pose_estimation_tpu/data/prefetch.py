@@ -40,7 +40,41 @@ class PrefetchIterator:
             yield item
 
 
-def sequence_prefetcher(seq, start: int, n: int, n_threads: int = 4):
+def background_iter(gen, depth: int = 2):
+    """Drain ``gen`` in a daemon thread through a bounded queue.
+
+    Single-producer/single-consumer (SURVEY.md §5.2); used to overlap
+    host→device transfers with the consumer's compute.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+    err = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:
+            err.append(e)
+        q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+
+    def out():
+        while True:
+            item = q.get()
+            if item is done:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+    return out()
+
+
+def sequence_prefetcher(
+    seq, start: int, n: int, n_threads: int = 4, device_depth: bool = False
+):
     """Best prefetching iterator for ``seq``: yields ``(ts, gray, depth)``.
 
     PNG-backed sequences (TUM / ICL TUM-compatible) stream through the
@@ -49,6 +83,13 @@ def sequence_prefetcher(seq, start: int, n: int, n_threads: int = 4):
     side. Anything else (raw ICL text depth, missing native lib, odd PNG
     formats) falls back to the Python single-thread `PrefetchIterator`
     over ``seq.frame``; both paths yield identical values.
+
+    ``device_depth=True`` additionally ships the depth to the accelerator
+    from the prefetch thread, ahead of consumption, and yields it as a
+    *device* array — raw uint16 for PNG sequences (half the transfer
+    bytes; scale to meters on device via ``seq.depth_scale``), float32
+    meters otherwise. Consumers must handle both dtypes (DenseOdometry
+    does).
     """
     import os
 
@@ -57,7 +98,14 @@ def sequence_prefetcher(seq, start: int, n: int, n_threads: int = 4):
     from rgbd_pose_estimation_tpu.data import native_loader as nl
 
     def _fallback():
-        return PrefetchIterator(lambda i: seq.frame(start + i), n)
+        base = PrefetchIterator(lambda i: seq.frame(start + i), n)
+        if not device_depth:
+            return base
+        import jax
+
+        return background_iter(
+            (ts, gray, jax.device_put(depth)) for ts, gray, depth in base
+        )
 
     rgb_files = getattr(seq, "rgb_files", None)
     depth_files = getattr(seq, "depth_files", None)
@@ -83,6 +131,30 @@ def sequence_prefetcher(seq, start: int, n: int, n_threads: int = 4):
         return _fallback()
 
     ts = seq.timestamps
+
+    if device_depth:
+        import jax
+
+        def _gen_dev():
+            # Batch several frames into ONE host→device transfer: transfer
+            # setup cost dominates at these sizes (especially on remote-
+            # attached devices), and an on-device slice per frame is free.
+            B = 4
+            with pf:
+                buf = []
+                for i, gray_u8, depth_u16 in pf:
+                    buf.append((float(ts[start + i]), gray_u8, depth_u16))
+                    if len(buf) == B:
+                        stack = jax.device_put(np.stack([b[2] for b in buf]))
+                        for k, (t, g, _) in enumerate(buf):
+                            yield (t, g, stack[k])
+                        buf = []
+                if buf:
+                    stack = jax.device_put(np.stack([b[2] for b in buf]))
+                    for k, (t, g, _) in enumerate(buf):
+                        yield (t, g, stack[k])
+
+        return background_iter(_gen_dev())
 
     def _gen():
         with pf:

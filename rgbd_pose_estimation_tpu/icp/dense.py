@@ -70,6 +70,16 @@ def _level_iteration(cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_
     sn = src_n.reshape(-1, 3)
     src_valid = (sv[:, 2] > 0) & (jnp.sum(sn * sn, axis=-1) > 0.5)
 
+    # TPU gathers are index-rate-bound (payload width is nearly free), so
+    # for nearest association pack everything the step needs — vertex,
+    # normal — into ONE flat (H·W, 6) map and gather it once per
+    # iteration instead of five times (4 bilinear vertex taps + normals).
+    th, tw = tgt_v.shape[:2]
+    if cfg.association == "nearest":
+        tgt_pack = jnp.concatenate(
+            [tgt_v.reshape(-1, 3), tgt_n.reshape(-1, 3)], axis=-1
+        )
+
     def step(T, _):
         R, t = T[:3, :3], T[:3, 3]
         p = sv @ R.T + t  # source vertices in target frame
@@ -80,8 +90,18 @@ def _level_iteration(cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_
         v = cam_l.fy * p[:, 1] / z + cam_l.cy
         uv = jnp.stack([u, v], axis=-1)
 
-        q, in_b = bilinear_sample(tgt_v, uv)
-        nt, _ = nearest_sample(tgt_n, uv)
+        if cfg.association == "nearest":
+            ui = jnp.round(u).astype(jnp.int32)
+            vi = jnp.round(v).astype(jnp.int32)
+            in_b = (ui >= 0) & (ui < tw) & (vi >= 0) & (vi < th)
+            idx = jnp.clip(vi, 0, th - 1) * tw + jnp.clip(ui, 0, tw - 1)
+            g = jnp.take(tgt_pack, idx, axis=0)  # the ONE gather
+            q, nt = g[:, 0:3], g[:, 3:6]
+            q = jnp.where(in_b[:, None], q, 0.0)
+            nt = jnp.where(in_b[:, None], nt, 0.0)
+        else:
+            q, in_b = bilinear_sample(tgt_v, uv)
+            nt, _ = nearest_sample(tgt_n, uv)
 
         diff = p - q
         dist2 = jnp.sum(diff * diff, axis=-1)

@@ -7,6 +7,18 @@ new keyframe is spawned when the association overlap drops (or a max
 interval passes), which bounds drift accumulation compared to strict
 frame-to-frame chaining. Emits per-frame JSONL metrics and keeps the
 keyframe list + odometry edges that the pose graph (config 4) consumes.
+
+Two ingestion modes:
+
+- :meth:`DenseOdometry.process` — synchronous, returns the frame's pose
+  immediately (one device→host fetch per frame).
+- :meth:`DenseOdometry.process_stream` — pipelined: frame i+1's track is
+  dispatched *before* frame i's result is fetched, so the device round-trip
+  (the dominant per-frame cost on remote-attached accelerators) overlaps
+  the next frame's compute. Identical math; the only semantic difference
+  is that keyframe adoption lags one frame (the decision for frame i lands
+  while i+1 is already in flight against the previous keyframe — both
+  tracks are geometrically valid, drift behavior is unchanged in practice).
 """
 
 from __future__ import annotations
@@ -21,10 +33,18 @@ import jax
 import jax.numpy as jnp
 
 from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
-from rgbd_pose_estimation_tpu.core.lie import se3_inverse
 from rgbd_pose_estimation_tpu.icp.dense import icp_track, make_icp_frame
 from rgbd_pose_estimation_tpu.utils.config import IcpConfig, KeyframeConfig
 from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
+
+
+def _inv_se3_np(T: np.ndarray) -> np.ndarray:
+    """Host-side rigid-transform inverse — a 4×4 is not worth a device trip."""
+    R = T[:3, :3]
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R.T
+    out[:3, 3] = -R.T @ T[:3, 3]
+    return out
 
 
 @dataclasses.dataclass
@@ -33,6 +53,14 @@ class Keyframe:
     pose: np.ndarray  # world→camera (4, 4)
     frame: object  # IcpFrame pyramid (device arrays)
     descriptor: Optional[np.ndarray] = None  # loop-closure descriptor
+    # Association mass of perfect self-overlap (device scalar, fetched
+    # lazily on first use so keyframe creation costs no extra round-trip).
+    ref_weight: object = None
+
+    def ref_weight_value(self) -> float:
+        if not isinstance(self.ref_weight, float):
+            self.ref_weight = float(self.ref_weight)
+        return self.ref_weight
 
 
 class DenseOdometry:
@@ -44,6 +72,7 @@ class DenseOdometry:
         icp_cfg: IcpConfig = IcpConfig(),
         kf_cfg: KeyframeConfig = KeyframeConfig(),
         metrics: Optional[MetricsLogger] = None,
+        depth_scale: float = 1.0 / 5000.0,
     ):
         # Tracking runs at cam/downscale resolution (IcpConfig.downscale);
         # self.cam is the TRACKING camera — loop-closure ICP and overlap
@@ -57,57 +86,77 @@ class DenseOdometry:
         self.metrics = metrics or MetricsLogger()
 
         def _prep(d):
+            if jnp.issubdtype(d.dtype, jnp.integer):
+                # Raw sensor units shipped as-is (uint16 halves the H2D
+                # bytes); convert to meters here, on device.
+                d = d.astype(jnp.float32) * depth_scale
             for _ in range(ds.bit_length() - 1):
                 from rgbd_pose_estimation_tpu.data.geometry import downsample_depth
 
                 d = downsample_depth(d)
-            return make_icp_frame(self.cam, d, icp_cfg)
+            frame = make_icp_frame(self.cam, d, icp_cfg)
+            n0 = frame.normals[0]
+            ref_w = jnp.sum(jnp.sum(n0 * n0, axis=-1) > 0.5).astype(jnp.float32)
+            return frame, ref_w
 
         self._make_frame = jax.jit(_prep)
+
+        def _to_device(depth):
+            if isinstance(depth, jax.Array):
+                return depth  # already shipped (e.g. by the prefetcher)
+            a = np.asarray(depth)
+            if np.issubdtype(a.dtype, np.floating) and a.dtype != np.float32:
+                a = a.astype(np.float32)
+            return jnp.asarray(a)
+
+        self._to_device = _to_device
         self.poses: List[np.ndarray] = []  # world→camera per frame
         self.keyframes: List[Keyframe] = []
         self.odom_edges: List[tuple] = []  # (kf_i, kf_j, T_ij) relative
         self._kf_pose_inv = None  # camera→world of current keyframe
-        self._last_rel = None  # last frame's pose relative to keyframe
-        self._ref_weight = None  # association mass at keyframe creation
+        self._last_rel = None  # last frame's pose relative to keyframe (host)
 
-    def process(self, depth: np.ndarray, frame_index: Optional[int] = None):
-        """Ingest the next depth frame; returns its world→camera pose."""
-        t0 = time.perf_counter()
-        i = frame_index if frame_index is not None else len(self.poses)
-        frame = self._make_frame(jnp.asarray(depth, jnp.float32))
+    # --- internals ------------------------------------------------------
 
-        if not self.keyframes:
-            pose = np.eye(4, dtype=np.float32)
-            self._new_keyframe(i, pose, frame, None)
-            self.poses.append(pose)
-            self.metrics.log(frame=i, ms=(time.perf_counter() - t0) * 1e3, keyframe=True)
-            return pose
+    def _bootstrap(self, i, frame, ref_w, t0):
+        pose = np.eye(4, dtype=np.float32)
+        self._new_keyframe(i, pose, frame, ref_w)
+        self.poses.append(pose)
+        self.metrics.log(frame=i, ms=(time.perf_counter() - t0) * 1e3, keyframe=True)
+        return pose
 
-        kf = self.keyframes[-1]
-        # Track current frame against the keyframe. icp_track estimates the
-        # source→target camera transform with source = keyframe pyramid?
-        # We register new frame (source) onto keyframe (target): T maps
-        # frame camera → keyframe camera. Init from the previous frame.
-        T_init = jnp.asarray(self._last_rel)
-        T_rel, stats = icp_track(self.cam, self.icp_cfg, T_init, frame, kf.frame)
-        T_rel_np = np.asarray(T_rel)
-        wsum = float(stats[1])
+    def _dispatch(self, frame, kf, T_init):
+        """Launch one track (async). Returns the in-flight record."""
+        return {
+            "kf": kf,
+            "frame": frame,
+            "out": icp_track(self.cam, self.icp_cfg, T_init, frame, kf.frame),
+        }
 
-        # World pose: x_w = kf_pose^-1 · T_rel · x_cam  →  pose = (kf_pose^-1 T_rel)^-1.
-        cam_to_world = self._kf_pose_inv @ T_rel_np
-        pose = np.asarray(se3_inverse(jnp.asarray(cam_to_world)))
+    def _resolve(self, i, rec, ref_w, t0):
+        """Fetch a dispatched track, update poses/keyframes, return pose."""
+        T_rel_np, stats_np = jax.device_get(rec["out"])
+        kf = rec["kf"]
+        wsum = float(stats_np[1])
+
+        # World pose: x_w = kf_pose^-1 · T_rel · x_cam → pose = (·)^-1.
+        kf_pose_inv = (
+            self._kf_pose_inv
+            if kf is self.keyframes[-1]
+            else _inv_se3_np(np.asarray(kf.pose, np.float32))
+        )
+        pose = _inv_se3_np(kf_pose_inv @ T_rel_np)
         self.poses.append(pose)
         self._last_rel = T_rel_np
 
-        overlap = wsum / max(self._ref_weight, 1e-6)
+        overlap = wsum / max(kf.ref_weight_value(), 1e-6)
         is_kf = (
             overlap < self.kf_cfg.min_inlier_ratio
             or (i - kf.index) >= self.kf_cfg.max_interval
         )
         if is_kf and len(self.keyframes) < self.kf_cfg.max_keyframes:
             self.odom_edges.append((kf.index, i, T_rel_np))
-            self._new_keyframe(i, pose, frame, None)
+            self._new_keyframe(i, pose, rec["frame"], ref_w)
         self.metrics.log(
             frame=i,
             ms=(time.perf_counter() - t0) * 1e3,
@@ -116,14 +165,57 @@ class DenseOdometry:
         )
         return pose
 
-    def _new_keyframe(self, i, pose, frame, descriptor):
-        self.keyframes.append(Keyframe(i, pose, frame, descriptor))
-        self._kf_pose_inv = np.asarray(se3_inverse(jnp.asarray(pose)))
+    def _new_keyframe(self, i, pose, frame, ref_w):
+        self.keyframes.append(Keyframe(i, pose, frame, None, ref_w))
+        self._kf_pose_inv = _inv_se3_np(np.asarray(pose, dtype=np.float32))
         self._last_rel = np.eye(4, dtype=np.float32)
-        # Perfect self-association has Huber weight 1 per valid pixel, so
-        # the valid-pixel count defines 100% overlap for this keyframe.
-        n0 = frame.normals[0]
-        self._ref_weight = float(jnp.sum(jnp.sum(n0 * n0, axis=-1) > 0.5))
+
+    # --- synchronous API --------------------------------------------------
+
+    def process(self, depth: np.ndarray, frame_index: Optional[int] = None):
+        """Ingest the next depth frame; returns its world→camera pose."""
+        t0 = time.perf_counter()
+        i = frame_index if frame_index is not None else len(self.poses)
+        frame, ref_w = self._make_frame(self._to_device(depth))
+        if not self.keyframes:
+            return self._bootstrap(i, frame, ref_w, t0)
+        kf = self.keyframes[-1]
+        rec = self._dispatch(frame, kf, jnp.asarray(self._last_rel))
+        return self._resolve(i, rec, ref_w, t0)
+
+    # --- pipelined streaming API ----------------------------------------
+
+    def process_stream(self, depths, start_index: int = 0):
+        """Track an iterable of depth frames, pipelined; yields (i, pose).
+
+        Dispatches frame i+1's track before fetching frame i's result, so
+        the device→host round-trip overlaps compute. ``T_init`` for the
+        in-flight frame chains from the *device-resident* previous result
+        (no sync on the critical path); after a keyframe switch it falls
+        back to the host value exactly like :meth:`process`.
+        """
+        pending = None  # (i, rec, ref_w, t0, T_rel device array)
+        for k, depth in enumerate(depths):
+            i = start_index + k
+            t0 = time.perf_counter()
+            frame, ref_w = self._make_frame(self._to_device(depth))
+            if not self.keyframes:
+                yield i, self._bootstrap(i, frame, ref_w, t0)
+                continue
+            kf = self.keyframes[-1]
+            if pending is not None and pending[1]["kf"] is kf:
+                T_init = pending[4]  # device array: zero-sync chaining
+            else:
+                T_init = jnp.asarray(self._last_rel)
+            rec = self._dispatch(frame, kf, T_init)
+            me = (i, rec, ref_w, t0, rec["out"][0])
+            if pending is not None:
+                pi, prec, pref, pt0, _ = pending
+                yield pi, self._resolve(pi, prec, pref, pt0)
+            pending = me
+        if pending is not None:
+            pi, prec, pref, pt0, _ = pending
+            yield pi, self._resolve(pi, prec, pref, pt0)
 
     def trajectory(self) -> np.ndarray:
         return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))

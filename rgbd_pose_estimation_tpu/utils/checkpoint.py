@@ -68,8 +68,8 @@ def load_odometry_checkpoint(path: str, odo, seq) -> int:
     odo.poses = list(z["poses"])
     for idx, pose in zip(z["kf_idx"], z["kf_poses"]):
         _, _, depth = seq.frame(int(idx))
-        frame = odo._make_frame(jnp.asarray(depth, jnp.float32))
-        odo._new_keyframe(int(idx), pose, frame, None)
+        frame, ref_w = odo._make_frame(jnp.asarray(depth, jnp.float32))
+        odo._new_keyframe(int(idx), pose, frame, ref_w)
     odo.odom_edges = [
         (int(i), int(j), T)
         for i, j, T in zip(z["edges_i"], z["edges_j"], z["edges_T"])

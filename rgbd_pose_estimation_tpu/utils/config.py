@@ -34,15 +34,21 @@ class IcpConfig:
     levels: int = 3  # pyramid levels
     iters_per_level: tuple = (5, 7, 10)  # indexed by level: finest first
     downscale: int = 1  # power-of-2 input downsample before tracking.
-    # Measured on 1x v5e (BASELINE.md): 640x480 tracks at 18 fps, 320x240
-    # (downscale=2) at 116 fps with equal accuracy on the synthetic scenes —
-    # 2 is the real-time production setting, 1 the max-quality setting.
+    # Measured on 1x v5e (BASELINE.md): full 640x480 tracks at 100 fps
+    # device-side with nearest association, so downscale=1 is both the
+    # max-quality and real-time setting; 2 quarters the work if needed.
     max_depth: float = 5.0
     min_depth: float = 0.1
     dist_threshold: float = 0.10  # association gate (meters)
     normal_threshold: float = 0.7  # min cos(angle) between normals
     huber_delta: float = 0.01  # robust weight scale (meters)
     damping: float = 1e-6  # LM damping on the 6x6 solve
+    # Projective data association. "nearest" (KinectFusion-standard) packs
+    # target vertex+normal+validity into ONE flat map and does a single
+    # row-gather per GN step — TPU gathers are index-rate-bound, so this is
+    # ~3.5x faster per iteration than "bilinear" (4 vertex taps + 1 normal
+    # gather) at equal tracking accuracy on the benchmark scenes.
+    association: str = "nearest"
 
 
 @dataclasses.dataclass(frozen=True)

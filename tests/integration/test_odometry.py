@@ -51,3 +51,35 @@ class TestOdometry:
         summary = odo.metrics.summary()
         assert summary["num_frames"] == n
         assert summary["frames_per_s"] > 0
+
+
+def test_process_stream_matches_process():
+    """Pipelined streaming produces the same trajectory as synchronous
+    processing (keyframe adoption may lag one frame; poses stay accurate)."""
+    import jax
+
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_sequence
+    from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
+    from rgbd_pose_estimation_tpu.utils.config import IcpConfig, KeyframeConfig
+
+    cam = CameraIntrinsics(120.0, 120.0, 79.5, 59.5, 160, 120)
+    poses, depths, _ = synthetic_sequence(cam, jax.random.key(7), 12, 0.01)
+    depths_np = [np.asarray(d) for d in depths]
+
+    odo_a = DenseOdometry(cam, IcpConfig(), KeyframeConfig())
+    for d in depths_np:
+        odo_a.process(d)
+    odo_b = DenseOdometry(cam, IcpConfig(), KeyframeConfig())
+    out = list(odo_b.process_stream(iter(depths_np)))
+    assert [i for i, _ in out] == list(range(12))
+
+    ta, tb = odo_a.trajectory(), odo_b.trajectory()
+    assert ta.shape == tb.shape == (12, 4, 4)
+    gt = np.asarray(poses)
+    for t in (ta, tb):
+        rel = t[-1] @ np.linalg.inv(t[0])
+        rel_gt = gt[-1] @ np.linalg.inv(gt[0])
+        assert np.abs(rel - rel_gt).max() < 5e-3
+    # Stream and sync agree tightly with each other too.
+    assert np.abs(ta - tb).max() < 1e-2

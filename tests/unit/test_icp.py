@@ -70,3 +70,34 @@ class TestIcp:
         a, _ = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
         b, _ = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestAssociationModes:
+    """nearest (packed one-gather) vs bilinear association parity."""
+
+    def test_both_modes_recover_pose(self):
+        import dataclasses
+
+        from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+        from rgbd_pose_estimation_tpu.core.lie import se3_exp, se3_log
+        from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
+        from rgbd_pose_estimation_tpu.icp.dense import icp_track, make_icp_frame
+        from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+        cam = CameraIntrinsics(120.0, 120.0, 79.5, 59.5, 160, 120)
+        T_gt = se3_exp(jnp.asarray([0.01, -0.008, 0.005, 0.01, -0.012, 0.008]))
+        d0, _ = synthetic_depth_scene(cam, jnp.eye(4))
+        d1, _ = synthetic_depth_scene(cam, T_gt)
+        errs = {}
+        for assoc in ("nearest", "bilinear"):
+            cfg = IcpConfig(association=assoc)
+            f0 = make_icp_frame(cam, d0, cfg)
+            f1 = make_icp_frame(cam, d1, cfg)
+            # source = f1 (camera at T_gt), target = f0 (identity):
+            # x_f0 = T_gt^-1 x_f1, so the expected estimate is inv(T_gt).
+            T, stats = icp_track(cam, cfg, jnp.eye(4), f1, f0)
+            err = float(jnp.abs(se3_log(T @ T_gt)).max())
+            errs[assoc] = err
+            assert err < 2e-3, (assoc, err)
+        # The fast path must not be meaningfully less accurate.
+        assert errs["nearest"] < max(5 * errs["bilinear"], 1e-3), errs
