@@ -83,6 +83,73 @@ def optimize_pose_graph(
     return T_opt, costs
 
 
+def keyframe_descriptor(kf) -> np.ndarray:
+    """Tiny appearance descriptor of a keyframe: normalized depth thumbnail.
+
+    Computed (and cached on the Keyframe) from the coarsest stored pyramid
+    level — depth-only, so it works for pure-depth odometry too. Mean/std
+    normalization makes the cosine similarity invariant to absolute scene
+    distance. This per-pair similarity matrix is exactly the quantity the
+    sharded CP-analogue computes at scale (`parallel/sharded.py::
+    ring_similarity`, SURVEY.md §5.7); here (single host, K ≤ a few
+    hundred) it is a trivial host matmul.
+    """
+    if getattr(kf, "descriptor", None) is not None:
+        return kf.descriptor
+    z = np.asarray(kf.frame.vertices[-1][..., 2])  # coarsest depth
+    h, w = z.shape
+    th, tw = 12, 16
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    thumb = z[np.ix_(ys, xs)].astype(np.float32).reshape(-1)
+    thumb = thumb - thumb.mean()
+    n = np.linalg.norm(thumb)
+    desc = thumb / n if n > 1e-9 else thumb
+    kf.descriptor = desc
+    return desc
+
+
+def loop_candidates(
+    kfs,
+    max_dist: float,
+    min_gap: int,
+    max_candidates: int,
+    appearance_top: int = 10,
+    appearance_min_sim: float = 0.85,
+):
+    """Candidate keyframe pairs for loop closure, two complementary cues.
+
+    (1) *Geometric*: estimated camera centers within ``max_dist`` — precise
+    when drift is small. (2) *Appearance*: most-similar depth thumbnails
+    (cosine ≥ ``appearance_min_sim``) — catches loops the drifted poses
+    miss, the classic failure of center-distance-only candidate search.
+    Both require a temporal gap of ``min_gap`` keyframes. Returns index
+    pairs, geometric candidates first (sorted by distance).
+    """
+    K = len(kfs)
+    centers = np.stack([-k.pose[:3, :3].T @ k.pose[:3, 3] for k in kfs])
+    geo = []
+    for a in range(K):
+        for b in range(a + min_gap + 1, K):
+            d = float(np.linalg.norm(centers[a] - centers[b]))
+            if d < max_dist:
+                geo.append((d, a, b))
+    geo.sort()
+    pairs = [(a, b) for _, a, b in geo]
+    seen = set(pairs)
+
+    D = np.stack([keyframe_descriptor(k) for k in kfs])  # (K, d)
+    sim = D @ D.T
+    iu = np.triu_indices(K, k=min_gap + 1)
+    order = np.argsort(-sim[iu])[:appearance_top]
+    for o in order:
+        a, b = int(iu[0][o]), int(iu[1][o])
+        if sim[a, b] >= appearance_min_sim and (a, b) not in seen:
+            pairs.append((a, b))
+            seen.add((a, b))
+    return pairs[:max_candidates]
+
+
 def detect_loop_closures(
     odo,
     max_dist: float = 0.5,
@@ -92,30 +159,19 @@ def detect_loop_closures(
 ):
     """Geometrically-verified loop closures between stored keyframes.
 
-    Candidates: keyframe pairs whose estimated camera centers are within
-    ``max_dist`` but at least ``min_gap`` keyframes apart. Verification:
-    dense ICP between the stored pyramids, accepted when the association
-    overlap stays above ``min_overlap``. Returns
-    ``[(kf_a, kf_b, T_b_to_a, overlap), ...]`` with indices into
-    ``odo.keyframes``.
+    Candidates come from :func:`loop_candidates` (center proximity +
+    appearance similarity). Verification: dense ICP between the stored
+    pyramids, accepted when the association overlap stays above
+    ``min_overlap``. Returns ``[(kf_a, kf_b, T_b_to_a, overlap), ...]``
+    with indices into ``odo.keyframes``.
     """
     from rgbd_pose_estimation_tpu.icp.dense import icp_track
 
     kfs = odo.keyframes
     if len(kfs) < min_gap + 2:
         return []
-    centers = np.stack(
-        [-k.pose[:3, :3].T @ k.pose[:3, 3] for k in kfs]
-    )
-    cands = []
-    for a in range(len(kfs)):
-        for b in range(a + min_gap + 1, len(kfs)):
-            d = float(np.linalg.norm(centers[a] - centers[b]))
-            if d < max_dist:
-                cands.append((d, a, b))
-    cands.sort()
     out = []
-    for d, a, b in cands[:max_candidates]:
+    for a, b in loop_candidates(kfs, max_dist, min_gap, max_candidates):
         # Initialize from current pose estimates: T_b→a = T_a T_b^-1.
         T_init = jnp.asarray(
             kfs[a].pose @ np.asarray(se3_inverse(jnp.asarray(kfs[b].pose)))

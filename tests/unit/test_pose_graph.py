@@ -91,3 +91,57 @@ class TestPoseGraph:
         _, T0, ei, ej, Tm, w = _ring_problem()
         T_opt, _ = optimize_pose_graph(T0, ei, ej, Tm, w, PoseGraphConfig(iters=10))
         np.testing.assert_allclose(np.asarray(T_opt[0]), np.asarray(T0[0]), atol=1e-3)
+
+
+class TestLoopCandidates:
+    def test_appearance_catches_drifted_loop(self):
+        """A revisited view is proposed even when drifted center distance
+        exceeds the geometric gate (the classic center-only failure)."""
+        import jax
+
+        from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+        from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
+        from rgbd_pose_estimation_tpu.graph.pose_graph import (
+            keyframe_descriptor,
+            loop_candidates,
+        )
+        from rgbd_pose_estimation_tpu.icp.dense import make_icp_frame
+        from rgbd_pose_estimation_tpu.models.odometry import Keyframe
+        from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+        from rgbd_pose_estimation_tpu.core.lie import se3_exp
+
+        cam = CameraIntrinsics(120.0, 120.0, 79.5, 59.5, 160, 120)
+        cfg = IcpConfig()
+        kfs = []
+        # Keyframes 0..5 wander; keyframe 6 revisits keyframe 0's viewpoint,
+        # but its *estimated* pose is drifted 2m away (far beyond max_dist).
+        import numpy as np
+        views = [np.asarray(se3_exp(jnp.asarray([0.3 * i, 0, 0, 0, 0.15 * i, 0]))) for i in range(6)]
+        views.append(np.eye(4, dtype=np.float32))  # same view as kf 0
+        for i, T in enumerate(views):
+            d, _ = synthetic_depth_scene(cam, jnp.asarray(T, jnp.float32))
+            frame = make_icp_frame(cam, d, cfg)
+            pose = np.asarray(T, np.float32).copy()
+            if i == 6:
+                pose[:3, 3] += np.asarray([2.0, 2.0, 0.0])  # drift
+            kfs.append(Keyframe(i, pose, frame))
+        pairs = loop_candidates(kfs, max_dist=0.5, min_gap=2, max_candidates=20)
+        assert (0, 6) in pairs, pairs
+
+    def test_descriptor_cached_and_normalized(self):
+        import jax
+
+        from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+        from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
+        from rgbd_pose_estimation_tpu.graph.pose_graph import keyframe_descriptor
+        from rgbd_pose_estimation_tpu.icp.dense import make_icp_frame
+        from rgbd_pose_estimation_tpu.models.odometry import Keyframe
+        from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+        import numpy as np
+
+        cam = CameraIntrinsics(120.0, 120.0, 79.5, 59.5, 160, 120)
+        d, _ = synthetic_depth_scene(cam, jnp.eye(4))
+        kf = Keyframe(0, np.eye(4, dtype=np.float32), make_icp_frame(cam, d, IcpConfig()))
+        desc = keyframe_descriptor(kf)
+        assert abs(np.linalg.norm(desc) - 1.0) < 1e-5
+        assert keyframe_descriptor(kf) is desc  # cached
