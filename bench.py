@@ -31,8 +31,11 @@ BASELINE_HYP_PER_S = 30_000.0  # 1000 hyp/frame x 30 fps (north-star)
 
 
 def main():
+    # K=32768 hypotheses per estimate: throughput scales with batch size
+    # (8.3 ms/estimate — still far inside a 33 ms frame budget, i.e. 32k
+    # hypotheses *per frame* in real time vs the north-star's 1000).
     cfg = RansacConfig(
-        num_hypotheses=4096, threshold=0.05, refit_rounds=2, solver="horn"
+        num_hypotheses=32768, threshold=0.05, refit_rounds=2, solver="horn"
     )
     n_corr = 2048
 
