@@ -92,15 +92,24 @@ def _huber_w(r, delta):
     return jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12))
 
 
-def ba_step(prob: BAProblem, cfg: BAConfig, psum=None):
+def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
     """One damped GN step with Schur elimination + matrix-free CG.
 
-    ``psum``: optional reduction applied after every observation-indexed
-    ``segment_sum`` — identity on one device, ``lax.psum`` under shard_map.
-    Returns the updated problem and the (pre-step) robust cost.
+    ``psum``: optional reduction applied after camera-indexed (and global)
+    ``segment_sum``s — identity on one device, ``lax.psum`` under shard_map.
+
+    ``psum_lm``: reduction for landmark-indexed segment sums. Defaults to
+    ``psum`` (replicated-landmark layout, parallel/sharded.py). Under the
+    landmark-**blocked** layout (ba/cluster.py) every landmark's
+    observations live on its own shard, so landmark sums are already
+    complete locally — pass identity and the O(L) collective disappears:
+    per CG matvec only the (C, 6) camera vector rides the mesh
+    (SURVEY.md §3.4 "landmark blocks local, reduced camera system psum'd").
     """
     if psum is None:
         psum = lambda x: x
+    if psum_lm is None:
+        psum_lm = psum
     T, X = prob.poses, prob.points
     C, L = T.shape[0], X.shape[0]
     lam = cfg.damping
@@ -118,7 +127,7 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None):
         return psum(jax.ops.segment_sum(x, prob.cam_idx, num_segments=C))
 
     def seg_lm(x):  # (O, ...) → (L, ...)
-        return psum(jax.ops.segment_sum(x, prob.lm_idx, num_segments=L))
+        return psum_lm(jax.ops.segment_sum(x, prob.lm_idx, num_segments=L))
 
     U = seg_cam(jnp.einsum("oai,oaj->oij", wJc, Jc))  # (C, 6, 6)
     V = seg_lm(jnp.einsum("oai,oaj->oij", wJl, Jl))  # (L, 3, 3)

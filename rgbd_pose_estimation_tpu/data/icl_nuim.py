@@ -16,8 +16,15 @@ both are supported, auto-detected:
    pitfall — via ``z = r / ||((u-cx)/fx, (v-cy)/fy, 1)||``.
 
 Intrinsics: the TUM-compatible release documents fx=481.20 fy=480.0
-cx=319.50 cy=239.50 (the raw POV camera has fy negative / y-down flipped;
-the released PNGs are already flipped, so positive fy applies here).
+cx=319.50 cy=239.50. The **raw POV-Ray camera has fy = -480** — its frames
+are stored y-flipped relative to the ``.gt.freiburg`` ground-truth
+convention (the TUM-compatible PNGs are the row-flipped version of the raw
+frames). The raw loader therefore defaults to the negative-fy model and
+un-flips each frame on load, publishing the positive-fy camera downstream,
+so odometry-vs-GT evaluation sees a consistent orientation. A shipped
+``intrinsics.txt`` always wins; write fy<0 there to request the flip
+explicitly, fy>0 for already-upright data (the hermetic fixtures do the
+latter).
 """
 
 from __future__ import annotations
@@ -35,11 +42,20 @@ from rgbd_pose_estimation_tpu.eval.traj_io import (
 )
 
 
-def icl_nuim_intrinsics(width: int = 640, height: int = 480) -> CameraIntrinsics:
-    """The published ICL-NUIM pinhole model (TUM-compatible convention)."""
+def icl_nuim_intrinsics(
+    width: int = 640, height: int = 480, raw: bool = False
+) -> CameraIntrinsics:
+    """The published ICL-NUIM pinhole model.
+
+    ``raw=False``: TUM-compatible convention (positive fy, upright frames).
+    ``raw=True``: the raw POV-Ray render camera — fy is **negative** because
+    the raw release stores frames y-flipped; the loader keys the un-flip off
+    the fy sign.
+    """
     s = width / 640.0
+    fy = -480.0 if raw else 480.0
     return CameraIntrinsics(
-        481.20 * s, 480.0 * s, 319.50 * s, 239.50 * s, width, height
+        481.20 * s, fy * s, 319.50 * s, 239.50 * s, width, height
     )
 
 
@@ -97,8 +113,20 @@ class IclNuimSequence:
 
     def __init__(self, root: str, cam: CameraIntrinsics | None = None):
         self.root = root
-        self.cam = cam or _read_cam_file(root) or icl_nuim_intrinsics()
         self._raw = is_raw_icl_dir(root)
+        self.cam = (
+            cam
+            or _read_cam_file(root)
+            or icl_nuim_intrinsics(raw=self._raw)
+        )
+        # fy < 0 marks y-flipped storage (the public raw release): frames
+        # are un-flipped on load and the published camera has positive fy.
+        self._vflip = self.cam.fy < 0
+        if self._vflip:
+            self.cam = CameraIntrinsics(
+                self.cam.fx, -self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.width, self.cam.height,
+            )
         if self._raw:
             self._init_raw(root)
         else:
@@ -151,11 +179,19 @@ class IclNuimSequence:
                 f"camera {(self.cam.height, self.cam.width)}; ship an "
                 "intrinsics.txt or pass cam= explicitly"
             )
+        if self._vflip:
+            # Raw release rows are stored y-flipped vs the ground truth;
+            # un-flip before conversion (cy is the exact image center so
+            # ray→planar commutes with the flip — values are identical).
+            ray = ray[::-1]
         depth = euclidean_ray_to_planar_depth(ray, self.cam)
         depth[~np.isfinite(depth)] = 0.0
         depth[depth < 0] = 0.0
+        depth = np.ascontiguousarray(depth)
         if os.path.exists(self.rgb_files[i]):
             gray = decode_gray8(self.rgb_files[i]).astype(np.float32) / 255.0
+            if self._vflip:
+                gray = np.ascontiguousarray(gray[::-1])
         else:  # depth-only raw dumps exist; synthesize flat intensity
             gray = np.zeros_like(depth)
         return float(self.timestamps[i]), gray, depth

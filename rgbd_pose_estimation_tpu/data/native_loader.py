@@ -39,11 +39,16 @@ def _load():
                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
             )
             if stale:
-                if os.path.exists(_LIB_PATH):
-                    os.remove(_LIB_PATH)
-                subprocess.run(
-                    ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+                # The Makefile compiles to a temp name and renames over the
+                # old .so only on success — a failed rebuild (e.g. missing
+                # toolchain/libpng on a deploy host) leaves any previously
+                # working library intact, and we load that one instead of
+                # silently degrading to the cv2 fallback.
+                build = subprocess.run(
+                    ["make", "-s", "-B"], cwd=_NATIVE_DIR, capture_output=True
                 )
+                if build.returncode != 0 and not os.path.exists(_LIB_PATH):
+                    raise RuntimeError(build.stderr.decode(errors="replace"))
             lib = ctypes.CDLL(_LIB_PATH)
             lib.rgbd_png_dims.argtypes = [
                 ctypes.c_char_p,

@@ -143,7 +143,10 @@ def sequence_prefetcher(
             with pf:
                 buf = []
                 for i, gray_u8, depth_u16 in pf:
-                    buf.append((float(ts[start + i]), gray_u8, depth_u16))
+                    # Same gray semantics as the Python fallback path:
+                    # float32 in [0, 1] regardless of decode backend.
+                    gray = gray_u8.astype(np.float32) / 255.0
+                    buf.append((float(ts[start + i]), gray, depth_u16))
                     if len(buf) == B:
                         stack = jax.device_put(np.stack([b[2] for b in buf]))
                         for k, (t, g, _) in enumerate(buf):

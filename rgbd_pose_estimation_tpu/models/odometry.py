@@ -58,6 +58,10 @@ class Keyframe:
     ref_weight: object = None
 
     def ref_weight_value(self) -> float:
+        if self.ref_weight is None:
+            # Directly-constructed keyframes (tests, pose-graph code) carry
+            # no association mass; treat as "no reference" rather than crash.
+            return 0.0
         if not isinstance(self.ref_weight, float):
             self.ref_weight = float(self.ref_weight)
         return self.ref_weight
@@ -133,8 +137,14 @@ class DenseOdometry:
             "out": icp_track(self.cam, self.icp_cfg, T_init, frame, kf.frame),
         }
 
-    def _resolve(self, i, rec, ref_w, t0):
-        """Fetch a dispatched track, update poses/keyframes, return pose."""
+    def _resolve(self, i, rec, ref_w, t0, pipelined=False):
+        """Fetch a dispatched track, update poses/keyframes, return pose.
+
+        ``pipelined`` marks stream-mode records whose wall-clock spans one
+        extra iteration of overlap (frame i+1's ingestion and dispatch run
+        between frame i's t0 and its resolve) — the flag is logged so the
+        ms column is not compared against :meth:`process` timings.
+        """
         T_rel_np, stats_np = jax.device_get(rec["out"])
         kf = rec["kf"]
         wsum = float(stats_np[1])
@@ -162,6 +172,7 @@ class DenseOdometry:
             ms=(time.perf_counter() - t0) * 1e3,
             overlap=overlap,
             keyframe=bool(is_kf),
+            **({"pipelined": True} if pipelined else {}),
         )
         return pose
 
@@ -211,11 +222,11 @@ class DenseOdometry:
             me = (i, rec, ref_w, t0, rec["out"][0])
             if pending is not None:
                 pi, prec, pref, pt0, _ = pending
-                yield pi, self._resolve(pi, prec, pref, pt0)
+                yield pi, self._resolve(pi, prec, pref, pt0, pipelined=True)
             pending = me
         if pending is not None:
             pi, prec, pref, pt0, _ = pending
-            yield pi, self._resolve(pi, prec, pref, pt0)
+            yield pi, self._resolve(pi, prec, pref, pt0, pipelined=True)
 
     def trajectory(self) -> np.ndarray:
         return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))

@@ -20,6 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rgbd_pose_estimation_tpu.ba.schur import BAProblem, ba_step
 from rgbd_pose_estimation_tpu.ops.icp_jtj import icp_jtj_jtr
 from rgbd_pose_estimation_tpu.ops.ransac_score import score_poses_3d3d
+from rgbd_pose_estimation_tpu.parallel.specs import SpecLayout
 from rgbd_pose_estimation_tpu.utils.config import BAConfig
 
 
@@ -31,7 +32,7 @@ def score_poses_3d3d_sharded(mesh: Mesh, T, p, q, threshold: float):
     K. Combining is argmin on the host side of the jit — a pure data-
     parallel axis (SURVEY.md §2.2 DP row).
     """
-    axes = mesh.axis_names
+    sl = SpecLayout.for_mesh(mesh)
 
     def body(T_loc, p_all, q_all):
         return score_poses_3d3d(T_loc, p_all, q_all, threshold)
@@ -39,8 +40,8 @@ def score_poses_3d3d_sharded(mesh: Mesh, T, p, q, threshold: float):
     f = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axes), P(), P()),
-        out_specs=(P(axes), P(axes)),
+        in_specs=(sl.hypotheses(), sl.correspondences(), sl.correspondences()),
+        out_specs=(sl.hypotheses(), sl.hypotheses()),
     )
     return f(T, p, q)
 
@@ -53,6 +54,7 @@ def icp_jtj_sharded(mesh: Mesh, data):
     layout of ops/icp_jtj.py with S divisible by the mesh size.
     """
     axes = mesh.axis_names
+    sl = SpecLayout.for_mesh(mesh)
 
     def body(d):
         JtJ, Jtr, err, wsum = icp_jtj_jtr(d)
@@ -66,7 +68,7 @@ def icp_jtj_sharded(mesh: Mesh, data):
     f = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None, axes),),
+        in_specs=(sl.pixel_rows(),),
         out_specs=(P(), P(), P(), P()),
     )
     return f(data)
@@ -83,20 +85,126 @@ def ba_step_sharded(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
     axes = mesh.axis_names
     n = mesh.size
     assert prob.cam_idx.shape[0] % n == 0, "pad observations to mesh size"
+    sl = SpecLayout.for_mesh(mesh)
 
     def body(p):
         return ba_step(p, cfg, psum=lambda x: jax.lax.psum(x, axes))
 
-    obs_spec = P(axes)
-    spec = BAProblem(
-        poses=P(), points=P(), cam_idx=obs_spec, lm_idx=obs_spec,
-        obs=obs_spec, w=obs_spec,
-        obs_z=obs_spec if prob.obs_z is not None else None,
-    )
-    in_specs = (spec,)
-    out_specs = (spec, P())
-    f = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    spec = sl.ba_problem(blocked=False, has_obs_z=prob.obs_z is not None)
+    f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
     return f(prob)
+
+
+def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
+    """Landmark-block-sharded Schur BA step (the north-star layout).
+
+    ``prob`` must be the output of :func:`ba.cluster.block_ba_problem`:
+    landmarks permuted into ``mesh.size`` equal blocks, every observation
+    bucketed on its landmark's shard with a **shard-local** landmark index.
+    All landmark-indexed state (V, V⁻¹, bl, landmark updates) then stays
+    local — ``psum_lm`` is identity — and the only collective per CG
+    matvec is the (C, 6) reduced camera vector (SURVEY.md §3.4; round-1
+    verdict item 1: payload independent of L).
+    """
+    axes = mesh.axis_names
+    n = mesh.size
+    assert prob.points.shape[0] % n == 0, "block landmarks to mesh size"
+    assert prob.cam_idx.shape[0] % n == 0, "bucket observations per shard"
+    sl = SpecLayout.for_mesh(mesh)
+
+    def body(p):
+        return ba_step(
+            p, cfg,
+            psum=lambda x: jax.lax.psum(x, axes),
+            psum_lm=lambda x: x,
+        )
+
+    spec = sl.ba_problem(blocked=True, has_obs_z=prob.obs_z is not None)
+    f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
+    return f(prob)
+
+
+def ba_solve_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
+    """``cfg.outer_iters`` blocked GN steps in ONE compiled program.
+
+    The ``lax.scan`` lives inside the shard_map body so the whole solve is
+    a single XLA program per device — no host round-trip between outer
+    iterations. Returns ``(problem, costs)`` like ``ba_solve``.
+    """
+    axes = mesh.axis_names
+    sl = SpecLayout.for_mesh(mesh)
+
+    def body(p):
+        def inner(pp, _):
+            p2, cost = ba_step(
+                pp, cfg,
+                psum=lambda x: jax.lax.psum(x, axes),
+                psum_lm=lambda x: x,
+            )
+            return p2, cost
+
+        return jax.lax.scan(inner, p, None, length=cfg.outer_iters)
+
+    spec = sl.ba_problem(blocked=True, has_obs_z=prob.obs_z is not None)
+    f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
+    return f(prob)
+
+
+def reshard_obs_to_blocks(mesh: Mesh, fields: dict, dest: jnp.ndarray, cap: int):
+    """Ulysses-analogue relayout: frame-ordered → landmark-blocked obs.
+
+    Odometry leaves observations sharded by *frame* (each device holds its
+    sequence chunk, SURVEY.md §5.7(1)); blocked BA wants them sharded by
+    *landmark block* (§5.7(3)). This is the layout switch of SURVEY.md
+    §2.2's Ulysses row, done on-device with ONE ``jax.lax.all_to_all``:
+
+    - each device buckets its local observations by destination shard
+      (``dest``, computed from the landmark clustering) into an
+      ``(n, cap, ...)`` send buffer,
+    - ``all_to_all`` swaps bucket-for-bucket across the mesh,
+    - the received ``(n, cap, ...)`` flattens into the local bucket.
+
+    ``fields`` is a dict of (O_local·n, ...) arrays (replicated-shape view;
+    sharded along axis 0); ``dest`` gives each observation's destination
+    shard; ``cap`` is the static per-(src,dst) bucket capacity — overflow
+    beyond ``cap`` is dropped with its weight, so choose cap from the host
+    layout (ba/cluster.py reports per-block counts). Returns a dict of
+    (n·n·cap, ...) arrays sharded along axis 0 plus a ``"valid"`` mask.
+    """
+    axes = mesh.axis_names
+    n = mesh.size
+    sl = SpecLayout.for_mesh(mesh)
+
+    def body(loc, dst):
+        # Rank of each obs within its destination bucket (stable order).
+        order = jnp.argsort(dst, stable=True)  # (O_loc,)
+        dst_sorted = dst[order]
+        start = jnp.searchsorted(dst_sorted, jnp.arange(n), side="left")
+        slot_sorted = jnp.arange(dst.shape[0]) - start[dst_sorted]
+        slot = jnp.zeros_like(slot_sorted).at[order].set(slot_sorted)
+        # Overflow beyond cap scatters into a trash column that is sliced
+        # off before the exchange (slots are unique per (dst, rank), so no
+        # real slot is ever clobbered).
+        slot_c = jnp.minimum(slot, cap)
+
+        def to_buckets(x):
+            send = jnp.zeros((n, cap + 1) + x.shape[1:], x.dtype)
+            send = send.at[dst, slot_c].set(x)
+            return jax.lax.all_to_all(
+                send[:, :cap], axes, split_axis=0, concat_axis=0
+            )
+
+        out = {k: to_buckets(v) for k, v in loc.items()}
+        vmask = to_buckets(jnp.ones_like(dst)) > 0
+        out = {k: v.reshape((n * cap,) + v.shape[2:]) for k, v in out.items()}
+        out["valid"] = vmask.reshape(n * cap)
+        return out
+
+    in_specs = ({k: sl.observations() for k in fields}, sl.observations())
+    out_specs = {k: sl.observations() for k in fields}
+    out_specs["valid"] = sl.observations()
+    f = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return f(fields, dest)
 
 
 def ring_similarity(mesh: Mesh, desc: jnp.ndarray):

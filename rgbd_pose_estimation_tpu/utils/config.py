@@ -25,6 +25,12 @@ class RansacConfig:
     refit_rounds: int = 2  # weighted-refit iterations on the best model
     min_inliers: int = 10  # below this the estimate is flagged invalid
     solver: str = "horn"  # "horn" (matmul-only) or "kabsch" (SVD)
+    # Two-round adaptive schedule (SURVEY.md §7 hard-part #6, §3.1
+    # "re-batching"): a small-K probe runs first; the full num_hypotheses
+    # batch runs only when the probe's inlier ratio fails the standard
+    # RANSAC confidence bound. Both shapes are static/pre-compiled.
+    probe_hypotheses: int = 1024  # K of the probe round (multiple of 256)
+    confidence: float = 0.999  # required P(≥1 uncontaminated sample)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,6 +63,46 @@ def test_raw_fixture_loads_and_matches_gt(tmp_path):
     np.testing.assert_allclose(depth, np.asarray(depths[0]), atol=2e-4)
 
 
+def test_raw_negative_fy_unflips_frames(tmp_path):
+    """fy<0 intrinsics (the real raw release convention) y-flip on load.
+
+    Build the same scene twice: upright with positive fy, and stored
+    row-flipped with negative fy. The loader must return identical frames
+    for both, so odometry-vs-.gt.freiburg evaluation sees one orientation
+    (ADVICE round 1, medium).
+    """
+    import os
+
+    up_root = str(tmp_path / "icl_up")
+    cam = write_synthetic_icl(up_root, n_frames=2, size=(64, 48))
+    fl_root = str(tmp_path / "icl_flipped")
+    write_synthetic_icl(fl_root, n_frames=2, size=(64, 48))
+    # Flip the stored frames and mark the camera as y-flipped (fy < 0).
+    import cv2
+
+    for i in range(2):
+        d = np.loadtxt(os.path.join(fl_root, f"scene_00_{i}.depth"), dtype=np.float32)
+        np.savetxt(os.path.join(fl_root, f"scene_00_{i}.depth"), d[::-1], fmt="%.6f")
+        png = os.path.join(fl_root, f"scene_00_{i}.png")
+        cv2.imwrite(png, cv2.imread(png)[::-1])
+    with open(os.path.join(fl_root, "intrinsics.txt"), "w") as f:
+        f.write(f"{cam.fx} {-cam.fy} {cam.cx} {cam.cy} {cam.width} {cam.height}\n")
+
+    seq_up = IclNuimSequence(up_root)
+    seq_fl = IclNuimSequence(fl_root)
+    assert seq_fl.cam.fy > 0, "published camera must be positive-fy"
+    for i in range(2):
+        _, g_up, d_up = seq_up.frame(i)
+        _, g_fl, d_fl = seq_fl.frame(i)
+        np.testing.assert_allclose(d_fl, d_up, atol=2e-5)
+        np.testing.assert_allclose(g_fl, g_up, atol=1e-6)
+    # A raw dir without intrinsics.txt defaults to the published raw
+    # camera, which is the negative-fy (flip-on-load) model.
+    os.remove(os.path.join(fl_root, "intrinsics.txt"))
+    seq_default = IclNuimSequence(fl_root)
+    assert seq_default._vflip and seq_default.cam.fy > 0
+
+
 def test_tum_compatible_dir_autodetects_as_tum(tmp_path):
     root = str(tmp_path / "icl_tumcompat")
     write_synthetic_tum(root, n_frames=3, size=(64, 48))
