@@ -65,6 +65,14 @@ class PoseGraphConfig:
     damping: float = 1e-6
     loop_sigma: float = 0.05  # loop-closure information weighting
     odom_sigma: float = 0.01
+    # Linear solver for the block normal equations (SURVEY.md §3.3):
+    # "dense" Cholesky is exact and fastest up to a few hundred keyframes;
+    # "pcg" is matrix-free block-Jacobi-preconditioned CG over the edge
+    # list — O(E) per matvec, no (6K)² materialization — for long
+    # sequences. "auto" picks dense at K ≤ dense_max_nodes.
+    solver: str = "auto"
+    pcg_iters: int = 100
+    dense_max_nodes: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

@@ -101,3 +101,31 @@ class TestAssociationModes:
             assert err < 2e-3, (assoc, err)
         # The fast path must not be meaningfully less accurate.
         assert errs["nearest"] < max(5 * errs["bilinear"], 1e-3), errs
+
+
+def test_icp_track_batch_matches_serial():
+    """icp_track_batch (the batched loop-verify path) == per-pair icp_track."""
+    import jax
+
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_sequence
+    from rgbd_pose_estimation_tpu.icp.dense import (
+        icp_track,
+        icp_track_batch,
+        make_icp_frame,
+    )
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+    from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+    cam = CameraIntrinsics(80.0, 80.0, 39.5, 29.5, 80, 60)
+    cfg = IcpConfig(levels=2, iters_per_level=(4, 6))
+    _, depths, _ = synthetic_sequence(cam, jax.random.key(2), 4, 0.01)
+    frames = [make_icp_frame(cam, d, cfg) for d in depths]
+    pairs = [(0, 1), (1, 2), (2, 3), (0, 2)]
+    T_init = jnp.stack([jnp.eye(4)] * len(pairs))
+    src = jax.tree.map(lambda *xs: jnp.stack(xs), *[frames[b] for _, b in pairs])
+    tgt = jax.tree.map(lambda *xs: jnp.stack(xs), *[frames[a] for a, _ in pairs])
+    Tb, sb = icp_track_batch(cam, cfg, T_init, src, tgt)
+    for k, (a, b) in enumerate(pairs):
+        T1, s1 = icp_track(cam, cfg, jnp.eye(4), frames[b], frames[a])
+        np.testing.assert_allclose(np.asarray(Tb[k]), np.asarray(T1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sb[k]), np.asarray(s1), rtol=1e-4)

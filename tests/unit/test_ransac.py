@@ -133,3 +133,81 @@ class TestRansacNormals:
         res = estimate_pose_3d3d_normals(jax.random.key(1), p, q, n_p, n_q, cfg)
         assert bool(res.valid)
         assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.02
+
+
+class TestAdaptiveSchedule:
+    """Two-round adaptive RANSAC (SURVEY.md §7 hard-part #6, round-2 item 5)."""
+
+    def test_required_hypotheses_bound(self):
+        from rgbd_pose_estimation_tpu.ransac.engine import required_hypotheses
+
+        # Classic values: eps=0.5, m=3, conf=0.99 → 35 samples.
+        assert required_hypotheses(0.5, 3, 0.99) == 35
+        assert required_hypotheses(1.0, 3, 0.999) == 1
+        assert required_hypotheses(0.0, 3, 0.999) >= 1 << 29
+        # Monotone: lower ratio → more samples.
+        assert required_hypotheses(0.3, 3, 0.999) > required_hypotheses(0.6, 3, 0.999)
+
+    @pytest.mark.parametrize("outlier_frac", [0.0, 0.3, 0.7])
+    def test_accuracy_matches_fixed_k(self, outlier_frac):
+        from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_3d3d_adaptive
+
+        cfg = RansacConfig(
+            num_hypotheses=8192, probe_hypotheses=1024, threshold=0.05
+        )
+        p, q, T, _ = synthetic_correspondences(
+            jax.random.key(11), n=400, outlier_frac=outlier_frac, noise=0.002
+        )
+        res = estimate_pose_3d3d_adaptive(jax.random.key(12), p, q, cfg)
+        assert bool(res.valid)
+        err = np.abs(np.asarray(res.pose) - np.asarray(T)).max()
+        assert err < 0.02
+
+    def test_work_reduction_at_low_outliers(self):
+        """≥5× average work reduction at 0–30% outliers (verdict's bar)."""
+        from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_3d3d_adaptive
+
+        cfg = RansacConfig(
+            num_hypotheses=8192, probe_hypotheses=1024, threshold=0.05
+        )
+        scored = []
+        for i, frac in enumerate([0.0, 0.1, 0.2, 0.3]):
+            p, q, T, _ = synthetic_correspondences(
+                jax.random.key(20 + i), n=400, outlier_frac=frac, noise=0.002
+            )
+            res = estimate_pose_3d3d_adaptive(jax.random.key(30 + i), p, q, cfg)
+            assert bool(res.valid)
+            assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.02
+            scored.append(res.num_hypotheses)
+        avg = sum(scored) / len(scored)
+        assert avg * 5 <= cfg.num_hypotheses, scored
+
+    def test_escalates_when_probe_fails(self):
+        """Near-degenerate inlier ratio must trigger the full round."""
+        from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_3d3d_adaptive
+
+        cfg = RansacConfig(
+            num_hypotheses=2048, probe_hypotheses=256, threshold=0.02,
+            min_inliers=5,
+        )
+        p, q, T, _ = synthetic_correspondences(
+            jax.random.key(40), n=400, outlier_frac=0.9, noise=0.001
+        )
+        res = estimate_pose_3d3d_adaptive(jax.random.key(41), p, q, cfg)
+        # 10% inliers at m=3: bound demands thousands of samples → both
+        # rounds scored.
+        assert res.num_hypotheses == 2048 + 256
+
+    def test_2d3d_adaptive(self):
+        from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_2d3d_adaptive
+
+        cfg = RansacConfig(
+            num_hypotheses=2048, probe_hypotheses=256, threshold=0.01
+        )
+        T, pts, obs = TestRansac2D3D._problem(
+            TestRansac2D3D, 7, outlier_frac=0.2
+        )
+        res = estimate_pose_2d3d_adaptive(jax.random.key(51), pts, obs, cfg)
+        assert bool(res.valid)
+        assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.03
+        assert res.num_hypotheses == 256 * 4  # probe only, roots included
