@@ -149,3 +149,25 @@ def build_pyramid(depth: jnp.ndarray, levels: int):
     for _ in range(levels - 1):
         pyr.append(downsample_depth(pyr[-1]))
     return pyr
+
+
+def downsample_intensity(img: jnp.ndarray) -> jnp.ndarray:
+    """2x intensity downsample (plain 2x2 mean; no invalid semantics)."""
+    h, w = img.shape
+    return img[: h - h % 2, : w - w % 2].reshape(h // 2, 2, w // 2, 2).mean(
+        axis=(1, 3)
+    )
+
+
+def photo_map(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) intensity → (H, W, 3) [I, dI/du, dI/dv] for photometric ICP.
+
+    Central-difference gradients in pixel units (the Jacobian chain in
+    icp/dense.py multiplies by fx/z, fy/z). Border gradients use one-sided
+    differences via edge padding.
+    """
+    pad_u = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
+    pad_v = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
+    gx = (pad_u[:, 2:] - pad_u[:, :-2]) * 0.5
+    gy = (pad_v[2:] - pad_v[:-2]) * 0.5
+    return jnp.stack([img, gx, gy], axis=-1)

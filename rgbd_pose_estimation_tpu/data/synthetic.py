@@ -151,6 +151,120 @@ def synthetic_depth_scene(cam: CameraIntrinsics, T_wc: jnp.ndarray):
     return depth, intensity
 
 
+# --- Kinect-realistic degradation (round-2 verdict item 2) ------------------
+#
+# The easy-regime tests use clean analytic depth; TUM fr1/desk is fast
+# handheld motion with structured-light depth whose error model is well
+# documented (Khoshelham & Elberink 2012): quadratic-in-z random error,
+# disparity-step quantization, and missing data at depth edges / borders.
+
+
+def kinect_degrade(
+    key,
+    depth: jnp.ndarray,
+    noise_coeff: float = 1.425e-3,  # sigma_z = coeff * z^2 (K&E 2012)
+    edge_gap: float = 0.04,  # occlusion-shadow holes at jumps > this (m)
+    dropout_frac: float = 0.02,  # random speckle dropout blobs
+    border: int = 8,  # invalid border band (px)
+    f_times_b: float = 348.0,  # focal(580 px) * baseline(0.075 m) * 8 sub-steps
+):
+    """Degrade an analytic depth map with a Kinect-style sensor model.
+
+    Applied per frame: (1) quadratic-in-z Gaussian noise, (2) disparity
+    quantization (the Kinect measures 1/8-pixel disparity d = f·b/z, so
+    depth resolution degrades as z²) plus the TUM PNG's 1/5000 m storage
+    quantization, (3) holes: occlusion shadows at depth discontinuities,
+    random speckle dropout, and an invalid border band. Returns depth with
+    0 = invalid, like real TUM frames.
+    """
+    k1, k2 = jax.random.split(key)
+    valid = depth > 0
+
+    # (1) quadratic-in-z noise.
+    z = depth + noise_coeff * depth * depth * jax.random.normal(k1, depth.shape)
+    z = jnp.maximum(z, 0.0)
+
+    # (2) disparity quantization then PNG quantization.
+    disp = f_times_b / jnp.maximum(z, 1e-3)
+    z = f_times_b / jnp.maximum(jnp.round(disp), 1.0)
+    z = jnp.round(z * 5000.0) / 5000.0
+
+    # (3a) occlusion shadows: a structured-light sensor loses the pixels
+    # just past a depth jump (projector shadow). Flag pixels whose left/up
+    # neighbor is much closer.
+    dl = jnp.abs(jnp.diff(depth, axis=1, prepend=depth[:, :1]))
+    du = jnp.abs(jnp.diff(depth, axis=0, prepend=depth[:1]))
+    shadow = (dl > edge_gap) | (du > edge_gap)
+
+    # (3b) blobby speckle dropout: threshold low-res value noise so holes
+    # come in contiguous chunks (like real specular/absorbing surfaces).
+    h, w = depth.shape
+    gy = (jnp.arange(h)[:, None] // 4) * jnp.ones((1, w), jnp.int32)
+    gx = jnp.ones((h, 1), jnp.int32) * (jnp.arange(w)[None, :] // 4)
+    seed = jax.random.randint(k2, (), 0, 1 << 30)
+    blob = _hash_noise(gx, gy, seed * jnp.ones_like(gx)) < dropout_frac
+
+    # (3c) border band.
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    in_border = (
+        (row < border) | (row >= h - border) | (col < border) | (col >= w - border)
+    )
+
+    keep = valid & ~shadow & ~blob & ~in_border
+    return jnp.where(keep, z, 0.0)
+
+
+def handheld_trajectory(key, n_frames: int, trans_scale=0.03, rot_scale=0.025):
+    """fr1/desk-like handheld motion: ~2–4 cm and ~1–2°/frame, smoothed.
+
+    Returns (F, 4, 4) world→camera poses starting at identity.
+    """
+    deltas = jax.random.normal(key, (n_frames, 6))
+    deltas = deltas * jnp.concatenate(
+        [jnp.full(3, trans_scale), jnp.full(3, rot_scale)]
+    )
+
+    def smooth(carry, d):
+        v = 0.7 * carry + 0.3 * d
+        return v, v
+
+    _, vels = jax.lax.scan(smooth, jnp.zeros(6), deltas)
+
+    def step(T, v):
+        T_next = se3_exp(v) @ T
+        return T_next, T_next
+
+    T0 = jnp.eye(4)
+    _, poses = jax.lax.scan(step, T0, vels)
+    return jnp.concatenate([T0[None], poses[:-1]], axis=0)
+
+
+def synthetic_sequence_hard(
+    cam: CameraIntrinsics,
+    key,
+    n_frames: int,
+    trans_scale: float = 0.03,
+    rot_scale: float = 0.025,
+    **degrade_kwargs,
+):
+    """Hard-mode synthetic TUM: handheld motion + Kinect sensor model.
+
+    The gate standing in for the unobtainable fr1/desk run (BASELINE.json:2
+    metric of record; no dataset on disk, no network — SURVEY.md §0):
+    same motion statistics, quantized/noisy/holey depth. Returns
+    ``(poses, depths_degraded, intensities, depths_clean)``.
+    """
+    k_traj, k_deg = jax.random.split(key)
+    poses = handheld_trajectory(k_traj, n_frames, trans_scale, rot_scale)
+    render = jax.vmap(lambda T: synthetic_depth_scene(cam, T))
+    depths_clean, intensities = render(poses)
+    keys = jax.random.split(k_deg, n_frames)
+    degrade = jax.vmap(lambda k, d: kinect_degrade(k, d, **degrade_kwargs))
+    depths = degrade(keys, depths_clean)
+    return poses, depths, intensities, depths_clean
+
+
 def synthetic_sequence(
     cam: CameraIntrinsics, key, n_frames: int, motion_scale: float = 0.02
 ):

@@ -41,44 +41,94 @@ from rgbd_pose_estimation_tpu.utils.config import IcpConfig
 
 
 class IcpFrame(typing.NamedTuple):
-    """Per-level vertex/normal maps of one RGB-D frame (finest first)."""
+    """Per-level vertex/normal maps of one RGB-D frame (finest first).
+
+    ``photo`` is optionally the per-level ``(H_l, W_l, 3)`` stack
+    ``[intensity, dI/du, dI/dv]`` (data/geometry.py::photo_map) consumed by
+    the photometric residual; empty when tracking is depth-only.
+    """
 
     vertices: tuple  # level → (H_l, W_l, 3)
     normals: tuple  # level → (H_l, W_l, 3)
+    photo: tuple = ()  # level → (H_l, W_l, 3) or empty
 
 
-def make_icp_frame(cam: CameraIntrinsics, depth: jnp.ndarray, cfg: IcpConfig) -> IcpFrame:
-    """Build the ICP pyramid for a depth image (device-side, jit-able)."""
+def make_icp_frame(
+    cam: CameraIntrinsics,
+    depth: jnp.ndarray,
+    cfg: IcpConfig,
+    intensity: jnp.ndarray | None = None,
+) -> IcpFrame:
+    """Build the ICP pyramid for a depth image (device-side, jit-able).
+
+    Pass ``intensity`` (H, W float in [0,1]) to enable the photometric
+    term (cfg.photometric_weight > 0)."""
+    from rgbd_pose_estimation_tpu.data.geometry import (
+        downsample_intensity,
+        photo_map,
+    )
+
     depth = jnp.where(
         (depth >= cfg.min_depth) & (depth <= cfg.max_depth), depth, 0.0
     )
     pyr = build_pyramid(depth, cfg.levels)
-    verts, norms = [], []
+    verts, norms, photos = [], [], []
+    img = intensity
     for lvl, d in enumerate(pyr):
         c = cam.scaled(0.5**lvl)
         v = vertex_map(c, d)
         verts.append(v)
         norms.append(normal_map(v))
-    return IcpFrame(vertices=tuple(verts), normals=tuple(norms))
+        if img is not None:
+            photos.append(photo_map(img))
+            img = downsample_intensity(img)
+    return IcpFrame(
+        vertices=tuple(verts), normals=tuple(norms), photo=tuple(photos)
+    )
 
 
-def _level_iteration(cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_v, tgt_n):
+def _level_iteration(
+    cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_v, tgt_n,
+    src_ph=None, tgt_ph=None,
+):
     """Returns step(T) → (T', stats) for one pyramid level (closure is
-    compile-time; shapes static per level)."""
+    compile-time; shapes static per level).
+
+    With ``cfg.photometric_weight > 0`` and photo maps present, a DVO-style
+    intensity residual r_I = I_tgt(π(Tp)) − I_src rides alongside point-to-
+    plane. Its Jacobian has the same [a; p×a] structure with a = ∇I·dπ/dp,
+    so BOTH residuals accumulate through the one fused JtJ kernel: the
+    photometric rows are packed as (p, q_virtual, a, w) with q_virtual
+    chosen so the kernel's n·(p−q) reproduces r_I exactly.
+    """
 
     sv = src_v.reshape(-1, 3)
     sn = src_n.reshape(-1, 3)
     src_valid = (sv[:, 2] > 0) & (jnp.sum(sn * sn, axis=-1) > 0.5)
 
+    use_photo = (
+        cfg.photometric_weight > 0.0
+        and src_ph is not None
+        and tgt_ph is not None
+    )
+    if use_photo and cfg.association != "nearest":
+        raise NotImplementedError(
+            "photometric term requires association='nearest'"
+        )
+
     # TPU gathers are index-rate-bound (payload width is nearly free), so
     # for nearest association pack everything the step needs — vertex,
-    # normal — into ONE flat (H·W, 6) map and gather it once per
-    # iteration instead of five times (4 bilinear vertex taps + normals).
+    # normal, and optionally intensity+gradient — into ONE flat map and
+    # gather it once per iteration instead of five times (4 bilinear
+    # vertex taps + normals).
     th, tw = tgt_v.shape[:2]
     if cfg.association == "nearest":
-        tgt_pack = jnp.concatenate(
-            [tgt_v.reshape(-1, 3), tgt_n.reshape(-1, 3)], axis=-1
-        )
+        packs = [tgt_v.reshape(-1, 3), tgt_n.reshape(-1, 3)]
+        if use_photo:
+            packs.append(tgt_ph.reshape(-1, 3))
+        tgt_pack = jnp.concatenate(packs, axis=-1)
+    if use_photo:
+        si = src_ph.reshape(-1, 3)[:, 0]  # source intensity
 
     def step(T, _):
         R, t = T[:3, :3], T[:3, 3]
@@ -121,9 +171,46 @@ def _level_iteration(cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_
         absr = jnp.abs(r)
         w_rob = jnp.where(absr <= cfg.huber_delta, 1.0, cfg.huber_delta / jnp.maximum(absr, 1e-12))
         w = jnp.where(valid, w_rob, 0.0)
-
         data = pack_icp_data(p, q, nt, w)
-        JtJ, Jtr, err, wsum = icp_jtj_jtr(data)
+
+        if use_photo:
+            # First-order subpixel correction of the nearest-gathered
+            # intensity, then the DVO chain a = ∇I · dπ/dp.
+            ti, tgx, tgy = g[:, 6], g[:, 7], g[:, 8]
+            du = u - ui.astype(u.dtype)
+            dv = v - vi.astype(v.dtype)
+            r_i = ti + tgx * du + tgy * dv - si
+            ax = tgx * cam_l.fx / z
+            ay = tgy * cam_l.fy / z
+            az = -(tgx * cam_l.fx * p[:, 0] + tgy * cam_l.fy * p[:, 1]) / (
+                z * z
+            )
+            a = jnp.stack([ax, ay, az], axis=-1)
+            a2 = jnp.sum(a * a, axis=-1)
+            valid_ph = (
+                src_valid
+                & in_b
+                & (p[:, 2] > 0)
+                & (q[:, 2] > 0)
+                & (dist2 < cfg.dist_threshold**2)
+                & (a2 > 1e-8)
+            )
+            abri = jnp.abs(r_i)
+            w_ph = jnp.where(
+                abri <= cfg.photo_huber,
+                1.0,
+                cfg.photo_huber / jnp.maximum(abri, 1e-12),
+            )
+            w_ph = jnp.where(valid_ph, w_ph * cfg.photometric_weight, 0.0)
+            # Virtual target point: the kernel computes n·(p − q), so pick
+            # q_virt with a·(p − q_virt) = r_I.
+            q_virt = p - (r_i / jnp.maximum(a2, 1e-8))[:, None] * a
+            data_ph = pack_icp_data(p, q_virt, a, w_ph)
+            data = jnp.concatenate([data, data_ph], axis=1)
+
+        JtJ, Jtr, err, wsum_all = icp_jtj_jtr(data)
+        # Overlap bookkeeping stays GEOMETRIC-only (keyframe policy signal).
+        wsum = jnp.sum(w) if use_photo else wsum_all
 
         H = JtJ + cfg.damping * jnp.eye(6, dtype=JtJ.dtype)
         # Guard: if almost nothing associated, take no step.
@@ -153,11 +240,14 @@ def icp_track(
     """
     T = T_init
     stats = jnp.zeros(2)
+    has_photo = len(src.photo) > 0 and len(tgt.photo) > 0
     for lvl in range(cfg.levels - 1, -1, -1):
         cam_l = cam.scaled(0.5**lvl)
         step = _level_iteration(
             cam_l, cfg, src.vertices[lvl], src.normals[lvl],
             tgt.vertices[lvl], tgt.normals[lvl],
+            src.photo[lvl] if has_photo else None,
+            tgt.photo[lvl] if has_photo else None,
         )
         T, stats_seq = jax.lax.scan(step, T, None, length=cfg.iters_per_level[lvl])
         stats = stats_seq[-1]

@@ -89,20 +89,27 @@ class DenseOdometry:
         self.kf_cfg = kf_cfg
         self.metrics = metrics or MetricsLogger()
 
-        def _prep(d):
+        def _prep(d, intensity):
+            from rgbd_pose_estimation_tpu.data.geometry import (
+                downsample_depth,
+                downsample_intensity,
+            )
+
             if jnp.issubdtype(d.dtype, jnp.integer):
                 # Raw sensor units shipped as-is (uint16 halves the H2D
                 # bytes); convert to meters here, on device.
                 d = d.astype(jnp.float32) * depth_scale
             for _ in range(ds.bit_length() - 1):
-                from rgbd_pose_estimation_tpu.data.geometry import downsample_depth
-
                 d = downsample_depth(d)
-            frame = make_icp_frame(self.cam, d, icp_cfg)
+                if intensity is not None:
+                    intensity = downsample_intensity(intensity)
+            frame = make_icp_frame(self.cam, d, icp_cfg, intensity)
             n0 = frame.normals[0]
             ref_w = jnp.sum(jnp.sum(n0 * n0, axis=-1) > 0.5).astype(jnp.float32)
             return frame, ref_w
 
+        # ``None`` intensity is a distinct pytree structure → its own trace;
+        # both variants compile once each.
         self._make_frame = jax.jit(_prep)
 
         def _to_device(depth):
@@ -183,11 +190,27 @@ class DenseOdometry:
 
     # --- synchronous API --------------------------------------------------
 
-    def process(self, depth: np.ndarray, frame_index: Optional[int] = None):
-        """Ingest the next depth frame; returns its world→camera pose."""
+    def process(
+        self,
+        depth: np.ndarray,
+        frame_index: Optional[int] = None,
+        intensity: Optional[np.ndarray] = None,
+    ):
+        """Ingest the next depth frame; returns its world→camera pose.
+
+        Pass ``intensity`` (H, W float in [0,1]) when
+        ``IcpConfig.photometric_weight > 0`` to add the DVO-style intensity
+        residual — required on geometry-degenerate (flat, textured) scenes.
+        """
         t0 = time.perf_counter()
         i = frame_index if frame_index is not None else len(self.poses)
-        frame, ref_w = self._make_frame(self._to_device(depth))
+        use_photo = (
+            self.icp_cfg.photometric_weight > 0 and intensity is not None
+        )
+        frame, ref_w = self._make_frame(
+            self._to_device(depth),
+            self._to_device(intensity) if use_photo else None,
+        )
         if not self.keyframes:
             return self._bootstrap(i, frame, ref_w, t0)
         kf = self.keyframes[-1]
@@ -206,10 +229,20 @@ class DenseOdometry:
         back to the host value exactly like :meth:`process`.
         """
         pending = None  # (i, rec, ref_w, t0, T_rel device array)
-        for k, depth in enumerate(depths):
+        use_photo = self.icp_cfg.photometric_weight > 0
+        for k, item in enumerate(depths):
+            # Items may be bare depth maps or (depth, intensity) pairs.
+            depth, intensity = (
+                item if isinstance(item, tuple) else (item, None)
+            )
             i = start_index + k
             t0 = time.perf_counter()
-            frame, ref_w = self._make_frame(self._to_device(depth))
+            frame, ref_w = self._make_frame(
+                self._to_device(depth),
+                self._to_device(intensity)
+                if (use_photo and intensity is not None)
+                else None,
+            )
             if not self.keyframes:
                 yield i, self._bootstrap(i, frame, ref_w, t0)
                 continue

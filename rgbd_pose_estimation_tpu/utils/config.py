@@ -49,6 +49,12 @@ class IcpConfig:
     normal_threshold: float = 0.7  # min cos(angle) between normals
     huber_delta: float = 0.01  # robust weight scale (meters)
     damping: float = 1e-6  # LM damping on the 6x6 solve
+    # Photometric (DVO-style intensity) residual alongside point-to-plane.
+    # 0 disables; a geometry-degenerate but textured scene (flat wall)
+    # needs it — see tests/unit/test_icp.py::test_photometric_*. The
+    # weight is in (1/intensity)² units relative to the metric residual.
+    photometric_weight: float = 0.0
+    photo_huber: float = 0.1  # robust scale for intensity residuals
     # Projective data association. "nearest" (KinectFusion-standard) packs
     # target vertex+normal+validity into ONE flat map and does a single
     # row-gather per GN step — TPU gathers are index-rate-bound, so this is

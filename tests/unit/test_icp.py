@@ -129,3 +129,98 @@ def test_icp_track_batch_matches_serial():
         T1, s1 = icp_track(cam, cfg, jnp.eye(4), frames[b], frames[a])
         np.testing.assert_allclose(np.asarray(Tb[k]), np.asarray(T1), atol=1e-5)
         np.testing.assert_allclose(np.asarray(sb[k]), np.asarray(s1), rtol=1e-4)
+
+
+class TestPhotometric:
+    """DVO-style intensity residual (round-2 verdict item 8): on a flat
+    textured wall, point-to-plane ICP is blind to in-plane motion (the
+    plane constrains only 3 of 6 DoF); the photometric term recovers it."""
+
+    @staticmethod
+    def _flat_wall(cam, T_wc, plane_z=3.0):
+        import jax.numpy as jnp
+
+        from rgbd_pose_estimation_tpu.core.camera import pixel_grid
+        from rgbd_pose_estimation_tpu.core.lie import matrix_to_rt
+        from rgbd_pose_estimation_tpu.data.synthetic import _texture
+
+        R, t = matrix_to_rt(T_wc)
+        center = -jnp.einsum("ji,j->i", R, t)
+        uv = pixel_grid(cam)
+        d_cam = jnp.stack(
+            [
+                (uv[..., 0] - cam.cx) / cam.fx,
+                (uv[..., 1] - cam.cy) / cam.fy,
+                jnp.ones_like(uv[..., 0]),
+            ],
+            axis=-1,
+        )
+        d_world = jnp.einsum("ji,hwj->hwi", R, d_cam)
+        s = (plane_z - center[2]) / d_world[..., 2]
+        hits = center + s[..., None] * d_world
+        intensity = _texture(hits)
+        return s, intensity  # unit-z rays: s == camera depth
+
+    def test_photometric_fixes_flat_wall(self):
+        import jax
+
+        from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+        from rgbd_pose_estimation_tpu.core.lie import se3_exp
+        from rgbd_pose_estimation_tpu.icp.dense import icp_track, make_icp_frame
+        from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+        w, h = 160, 120
+        cam = CameraIntrinsics(160.0, 160.0, w / 2 - 0.5, h / 2 - 0.5, w, h)
+        # In-plane motion: x/y translation + roll — exactly the null space
+        # of point-to-plane on a fronto-parallel wall.
+        xi = jnp.asarray([0.02, -0.015, 0.0, 0.0, 0.0, 0.01], jnp.float32)
+        T_gt = se3_exp(xi)  # camera A → camera B... (world=A frame)
+        dA, iA = self._flat_wall(cam, jnp.eye(4))
+        dB, iB = self._flat_wall(cam, T_gt)
+
+        geo_cfg = IcpConfig(levels=2, iters_per_level=(6, 8))
+        ph_cfg = IcpConfig(
+            levels=2, iters_per_level=(6, 8), photometric_weight=1.0
+        )
+        fA = make_icp_frame(cam, dA, geo_cfg, iA)
+        fB = make_icp_frame(cam, dB, geo_cfg, iB)
+
+        # icp_track(cam, cfg, T, src=B, tgt=A) estimates B→A = T_gt^-1...
+        # convention: process() passes (frame_new, frame_kf); T maps
+        # source→target. Here source=B, target=A, truth = inv(T_gt)?
+        # B frame sees point x_B = T_gt x_A → x_A = T_gt^-1 x_B.
+        from rgbd_pose_estimation_tpu.core.lie import se3_inverse
+
+        T_true = np.asarray(se3_inverse(T_gt))
+
+        T_geo, _ = icp_track(cam, geo_cfg, jnp.eye(4), fB, fA)
+        T_ph, _ = icp_track(cam, ph_cfg, jnp.eye(4), fB, fA)
+
+        err_geo = np.abs(np.asarray(T_geo) - T_true).max()
+        err_ph = np.abs(np.asarray(T_ph) - T_true).max()
+        # Depth-only is blind to the in-plane motion (stays ~at identity).
+        assert err_geo > 0.01, f"expected depth-only failure, err={err_geo}"
+        # The combined cost recovers it.
+        assert err_ph < 0.003, f"photometric err={err_ph}"
+
+    def test_photometric_keeps_easy_scene_accuracy(self):
+        """On a well-conditioned scene the photo term must not hurt."""
+        import jax
+
+        from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+        from rgbd_pose_estimation_tpu.core.lie import se3_log, se3_inverse
+        from rgbd_pose_estimation_tpu.data.synthetic import synthetic_sequence
+        from rgbd_pose_estimation_tpu.icp.dense import icp_track, make_icp_frame
+        from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+        cam = CameraIntrinsics(80.0, 80.0, 39.5, 29.5, 80, 60)
+        poses, depths, intens = synthetic_sequence(cam, jax.random.key(4), 2, 0.01)
+        cfg = IcpConfig(levels=2, iters_per_level=(4, 6), photometric_weight=0.5)
+        f0 = make_icp_frame(cam, depths[0], cfg, intens[0])
+        f1 = make_icp_frame(cam, depths[1], cfg, intens[1])
+        T, _ = icp_track(cam, cfg, jnp.eye(4), f1, f0)
+        T_true = poses[0] @ np.asarray(se3_inverse(poses[1]))
+        err = np.abs(
+            np.asarray(se3_log(jnp.asarray(np.asarray(T) @ np.linalg.inv(np.asarray(T_true)), jnp.float32)))
+        ).max()
+        assert err < 2e-3, err
