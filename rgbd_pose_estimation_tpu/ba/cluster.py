@@ -86,7 +86,9 @@ def cluster_landmarks(
     # Quantile split on cumulative observation mass → balanced blocks.
     cum = np.cumsum(obs_per_lm[order])
     total = max(int(cum[-1]), 1)
-    block_of_slot = np.minimum((cum - 1) * n // total, n - 1).astype(np.int64)
+    # Clip both ends: cum can be 0 when leading landmarks have no valid
+    # observations (e.g. everything pruned on a tiny problem).
+    block_of_slot = np.clip((cum - 1) * n // total, 0, n - 1).astype(np.int64)
     block = np.empty(L, np.int64)
     block[order] = block_of_slot
 
@@ -226,6 +228,12 @@ def block_ba_problem(
         obs=jnp.asarray(obs_b),
         w=jnp.asarray(w_b),
         obs_z=None if obs_z_b is None else jnp.asarray(obs_z_b),
+        # Relative-pose priors are camera-indexed — unaffected by the
+        # landmark permutation; carried through verbatim (replicated).
+        prior_i=prob.prior_i,
+        prior_j=prob.prior_j,
+        prior_T_inv=prob.prior_T_inv,
+        prior_w=prob.prior_w,
     )
     layout = BlockedLayout(
         lm_perm=lm_perm,

@@ -29,7 +29,12 @@ import typing
 import jax
 import jax.numpy as jnp
 
-from rgbd_pose_estimation_tpu.core.lie import se3_exp
+from rgbd_pose_estimation_tpu.core.lie import (
+    se3_adjoint,
+    se3_exp,
+    se3_inverse,
+    se3_log,
+)
 from rgbd_pose_estimation_tpu.utils.config import BAConfig
 
 
@@ -44,6 +49,17 @@ class BAProblem(typing.NamedTuple):
     # RGB-D BA: the depth residual removes the scale-gauge freedom a pure
     # reprojection BA has (scaling landmarks+translations about the gauge
     # camera leaves pixel residuals unchanged — noise then drifts the scale).
+    #
+    # Relative-pose priors (odometry fusion). A feature-only BA on few/short
+    # tracks is weakly determined and will happily trade real pose accuracy
+    # for reprojection residual; dense odometry knows the relative motion to
+    # sub-mm. These edges add  w·‖log(T_meas⁻¹ T_i T_j⁻¹)‖²  terms coupling
+    # camera pairs — the production-SLAM "motion prior" — so feature
+    # information refines poses instead of replacing the odometry estimate.
+    prior_i: jnp.ndarray = None  # (E,) int32 camera index i
+    prior_j: jnp.ndarray = None  # (E,) int32 camera index j
+    prior_T_inv: jnp.ndarray = None  # (E, 4, 4) measured (cam j → cam i)⁻¹
+    prior_w: jnp.ndarray = None  # (E,) information weights
 
 
 def _residual_jacobians(T, X, cam_idx, lm_idx, obs, obs_z=None, depth_weight=1.0):
@@ -138,6 +154,27 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
     V = V + lam * jnp.eye(3, dtype=T.dtype)
     Vinv = jnp.linalg.inv(V)  # batched 3x3
 
+    # Relative-pose odometry priors (see BAProblem). Added AFTER the psum
+    # of observation quantities: prior inputs are replicated, so every
+    # shard adds identical terms — no collective, still bit-consistent.
+    # Left-perturbation Jacobians of r = log(Tm⁻¹ T_i T_j⁻¹):
+    # J_i = Ad(Tm⁻¹), J_j = −I (small-residual approximation).
+    prior_cross = None
+    if prob.prior_i is not None:
+        pi, pj, wp = prob.prior_i, prob.prior_j, prob.prior_w
+        Ai = se3_adjoint(prob.prior_T_inv)  # (E, 6, 6)
+        r_p = se3_log(prob.prior_T_inv @ T[pi] @ se3_inverse(T[pj]))
+        cost = cost + jnp.sum(wp * jnp.sum(r_p * r_p, axis=-1))
+        U = U.at[pi].add(jnp.einsum("eki,ekj->eij", Ai, Ai) * wp[:, None, None])
+        U = U.at[pj].add(wp[:, None, None] * jnp.eye(6, dtype=T.dtype))
+        bc = bc.at[pi].add(-jnp.einsum("eki,ek->ei", Ai, r_p) * wp[:, None])
+        bc = bc.at[pj].add(wp[:, None] * r_p)
+
+        def prior_cross(x):  # off-diagonal camera-camera blocks of H
+            yi = -jnp.einsum("eki,ek->ei", Ai, x[pj]) * wp[:, None]
+            yj = -jnp.einsum("eik,ek->ei", Ai, x[pi]) * wp[:, None]
+            return jnp.zeros_like(x).at[pi].add(yi).at[pj].add(yj)
+
     def cam_from_lm(u_l):
         """y_c = Σ_obs Jcᵀ w Jl u_{l(o)}  — camera-side gather of landmark vec."""
         t = jnp.einsum("oaj,oj->oa", Jl, u_l[prob.lm_idx])  # (O, 2)
@@ -156,6 +193,8 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
         t_l = lm_from_cam(x_c)
         u_l = jnp.einsum("lij,lj->li", Vinv, t_l)
         y = ux - cam_from_lm(u_l)
+        if prior_cross is not None:
+            y = y + prior_cross(x_c)
         return y * gauge_mask
 
     rhs = (bc - cam_from_lm(jnp.einsum("lij,lj->li", Vinv, bl))) * gauge_mask
@@ -198,6 +237,30 @@ def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig()):
 
     out, costs = jax.lax.scan(body, prob, None, length=cfg.outer_iters)
     return out, costs
+
+
+def with_odometry_priors(
+    prob: BAProblem, weight: float, edges=None
+) -> BAProblem:
+    """Attach relative-pose priors measured from the problem's CURRENT
+    poses (call before stepping: the initialization is the odometry/pose-
+    graph estimate being trusted). ``edges`` defaults to consecutive
+    camera pairs; pass extras (e.g. verified loop pairs) to trust those
+    relative transforms too."""
+    C = int(prob.poses.shape[0])
+    if edges is None:
+        edges = [(a, a + 1) for a in range(C - 1)]
+    if not edges:
+        return prob
+    pi = jnp.asarray([a for a, _ in edges], jnp.int32)
+    pj = jnp.asarray([b for _, b in edges], jnp.int32)
+    Tm = prob.poses[pi] @ se3_inverse(prob.poses[pj])
+    return prob._replace(
+        prior_i=pi,
+        prior_j=pj,
+        prior_T_inv=se3_inverse(Tm),
+        prior_w=jnp.full(len(edges), weight, prob.poses.dtype),
+    )
 
 
 def prune_observations(prob: BAProblem, max_residual: float, depth_weight=1.0) -> BAProblem:

@@ -29,6 +29,9 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--metrics", help="JSONL metrics output path")
     p.add_argument("--trace-dir", help="jax.profiler trace output dir")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--cpu-devices", type=int, default=0,
+                   help="virtual CPU device count (implies --cpu; for "
+                   "exercising multi-device meshes without hardware)")
     p.add_argument("--log-level", default="INFO")
 
 
@@ -45,6 +48,8 @@ def build_parser():
                       help="orb = host OpenCV; tpu = on-device FAST+BRIEF")
     pair.add_argument("--intrinsics", default="tum_default",
                       choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
+    pair.add_argument("--adaptive", action="store_true",
+                      help="two-round adaptive RANSAC schedule")
     _common(pair)
 
     odom = sub.add_parser("odom", help="dense ICP odometry (config 3)")
@@ -67,6 +72,11 @@ def build_parser():
                     choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
     ba.add_argument("--mesh-devices", type=int, default=1,
                     help="shard BA over this many devices (1 = single)")
+    ba.add_argument("--ba-layout", choices=["blocked", "replicated"],
+                    default="blocked",
+                    help="distributed landmark layout: blocked = landmark "
+                    "blocks shard-local, O(C) collectives per CG matvec "
+                    "(the north-star layout); replicated = v1 fallback")
     ba.add_argument("--kf-interval", type=int, default=0,
                     help="override keyframe max_interval")
     ba.add_argument("--checkpoint", help="BA checkpoint path (enables resume)")
@@ -78,6 +88,22 @@ def build_parser():
     ba.add_argument("--num-processes", type=int, default=1)
     ba.add_argument("--process-id", type=int, default=0)
     _common(ba)
+
+    slam = sub.add_parser(
+        "slam", help="end-to-end distributed SLAM (config 5 in one command)"
+    )
+    slam.add_argument("--dataset", required=True)
+    slam.add_argument("--out", required=True, help="TUM trajectory output")
+    slam.add_argument("--max-frames", type=int, default=0)
+    slam.add_argument("--intrinsics", default="tum_default",
+                      choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
+    slam.add_argument("--mesh-devices", type=int, default=1,
+                      help="devices for ring candidates + blocked BA")
+    slam.add_argument("--chunks", type=int, default=2,
+                      help="sequence-parallel odometry chunks")
+    slam.add_argument("--no-ba", action="store_true",
+                      help="skip the bundle-adjustment stage")
+    _common(slam)
 
     ev = sub.add_parser("eval", help="ATE/RPE vs ground truth")
     ev.add_argument("--est", required=True)
@@ -96,11 +122,19 @@ def build_parser():
 
 def _setup(args):
     import logging
+    import os
 
     logging.basicConfig(level=getattr(logging, args.log_level.upper(), 20))
+    n_cpu = getattr(args, "cpu_devices", 0)
+    if n_cpu > 1:
+        # Must land in XLA_FLAGS before the first backend initialization.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_cpu}"
+        )
     import jax
 
-    if getattr(args, "cpu", False):
+    if getattr(args, "cpu", False) or n_cpu > 1:
         jax.config.update("jax_platforms", "cpu")
     from rgbd_pose_estimation_tpu.utils.config import PipelineConfig, load_yaml_config
 
@@ -137,25 +171,46 @@ def _dataset_cam(root):
 
 def cmd_pair(args):
     cfg = _setup(args)
+    import time
+
     import jax
 
     from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
     from rgbd_pose_estimation_tpu.models.frame_pair import FramePairEstimator
+    from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
 
+    metrics = MetricsLogger(args.metrics)
     seq = open_sequence(args.dataset)
     cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
+    t0 = time.perf_counter()
     _, ga, da = seq.frame(args.a)
     _, gb, db = seq.frame(args.b)
+    t_load = time.perf_counter()
     est = FramePairEstimator(cam, cfg.ransac, mode=args.mode,
-                             detector=args.detector)
+                             detector=args.detector, adaptive=args.adaptive)
     out = est.estimate(ga, da, gb, db if args.mode == "3d3d" else None,
                        key=jax.random.key(0))
+    t_est = time.perf_counter()
+    # The per-frame record the report pipeline aggregates (SURVEY.md §5.5):
+    # hypotheses actually scored (the hypotheses/s column), inliers,
+    # matches, and per-phase ms.
+    metrics.log(
+        frame=args.b,
+        ms=(t_est - t_load) * 1e3,
+        ms_load=(t_load - t0) * 1e3,
+        hypotheses=out.num_hypotheses,
+        inliers=out.num_inliers,
+        matches=out.num_matches,
+        valid=out.valid,
+    )
+    metrics.close()
     print(json.dumps({
         "pose": out.pose.tolist(),
         "valid": out.valid,
         "num_matches": out.num_matches,
         "num_inliers": out.num_inliers,
         "num_hypotheses": out.num_hypotheses,
+        "ms_estimate": (t_est - t_load) * 1e3,
     }))
     return 0 if out.valid else 1
 
@@ -196,34 +251,69 @@ def cmd_odom(args):
                 save_odometry_checkpoint(ckpt_path, odo, i + 1)
     write_tum_trajectory(args.out, seq.timestamps[:n], np.stack(odo.poses))
 
+    poses = np.stack(odo.poses)
     if args.pose_graph:
         from rgbd_pose_estimation_tpu.graph.pose_graph import optimize_trajectory
 
         poses = optimize_trajectory(odo, cfg.pose_graph)
         write_tum_trajectory(args.out, seq.timestamps[:n], poses)
 
+    # Close the metrics loop (SURVEY.md §5.5): when the dataset ships
+    # ground truth, the run artifact itself carries the ATE so
+    # eval/report.py reproduces BASELINE.md's accuracy column from it.
+    try:
+        gt_idx, gt_poses = seq.groundtruth_aligned()
+    except Exception:
+        gt_idx = np.zeros(0, np.int64)
+    keep = gt_idx < len(poses) if len(gt_idx) else np.zeros(0, bool)
+    if keep.sum() >= 3:
+        from rgbd_pose_estimation_tpu.eval.ate import ate_rmse
+
+        def _centers(T):
+            return -np.einsum("fji,fj->fi", T[:, :3, :3], T[:, :3, 3])
+
+        ate = ate_rmse(_centers(poses[gt_idx[keep]]), _centers(gt_poses[keep]))
+        metrics.log(ate_rmse=float(ate))
+
     print(json.dumps(metrics.summary()))
+    metrics.close()
     return 0
 
 
 def cmd_ba(args):
     cfg = _setup(args)
+    import time
+
     import jax
     import jax.numpy as jnp
 
     from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
-    from rgbd_pose_estimation_tpu.ba.schur import ba_step, reprojection_rmse
+    from rgbd_pose_estimation_tpu.ba.cluster import (
+        block_ba_problem,
+        unblock_points,
+    )
+    from rgbd_pose_estimation_tpu.ba.schur import (
+        ba_step,
+        reprojection_rmse,
+        with_odometry_priors,
+    )
     from rgbd_pose_estimation_tpu.core.lie import se3_inverse
     from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
     from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
     from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
     from rgbd_pose_estimation_tpu.parallel.mesh import distributed_init, make_mesh
-    from rgbd_pose_estimation_tpu.parallel.sharded import ba_step_sharded
+    from rgbd_pose_estimation_tpu.parallel.sharded import (
+        ba_step_blocked,
+        ba_step_sharded,
+    )
     from rgbd_pose_estimation_tpu.utils.checkpoint import (
         load_ba_checkpoint,
         save_ba_checkpoint,
     )
     from rgbd_pose_estimation_tpu.utils.config import MeshConfig
+    from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics)
 
     distributed_init(args.coordinator, args.num_processes, args.process_id)
 
@@ -255,6 +345,11 @@ def cmd_ba(args):
         pad_to_multiple=max(8, args.mesh_devices),
     )
     rmse0 = float(reprojection_rmse(prob))
+    if cfg.ba.prior_weight > 0:
+        # Fuse the odometry's relative-motion knowledge into BA (anchored
+        # at the odometry poses, BEFORE any resume, so interrupted and
+        # fresh runs share identical prior measurements).
+        prob = with_odometry_priors(prob, cfg.ba.prior_weight)
 
     mesh = None
     if args.mesh_devices > 1:
@@ -270,23 +365,62 @@ def cmd_ba(args):
             start_iter = int(state["iter"])
             print(f"resumed BA at iteration {start_iter}", file=sys.stderr)
 
+    # Distributed layout. "blocked" (default) is the north-star layout:
+    # landmark blocks shard-local (ba/cluster.py clustering), the only
+    # per-CG-matvec collective is the (C, 6) camera vector. Checkpoints
+    # always store GLOBAL points (unblocked) so layouts can change between
+    # runs/resumes.
+    blocked = mesh is not None and args.ba_layout == "blocked"
+    layout = None
+    if blocked:
+        prob, layout, cstats = block_ba_problem(prob, mesh.size)
+        metrics.log(ba_layout="blocked", **{
+            k: cstats[k] for k in
+            ("span_cut_before", "span_cut_after", "obs_imbalance",
+             "block_size", "obs_cap")
+        })
+
+    def global_points(p):
+        return unblock_points(p.points, layout) if blocked else np.asarray(p.points)
+
     costs = []
     for it in range(start_iter, cfg.ba.outer_iters):
-        if mesh is not None:
+        t0 = time.perf_counter()
+        if blocked:
+            prob, cost = ba_step_blocked(mesh, prob, cfg.ba)
+        elif mesh is not None:
             prob, cost = ba_step_sharded(mesh, prob, cfg.ba)
         else:
             prob, cost = ba_step(prob, cfg.ba)
-        costs.append(float(cost))
+        cost = float(cost)
+        costs.append(cost)
+        metrics.log(ba_iter=it, cost=cost, ms=(time.perf_counter() - t0) * 1e3)
         if args.checkpoint:
             save_ba_checkpoint(
                 args.checkpoint,
                 poses=np.asarray(prob.poses),
-                points=np.asarray(prob.points),
+                points=global_points(prob),
                 iter=np.int64(it + 1),
             )
         if args.fail_at_iter == it:
             raise RuntimeError(f"fault injection: failing after BA iteration {it}")
+    if blocked:
+        # Back to the global layout for reporting/output.
+        prob = prob._replace(points=jnp.asarray(global_points(prob)))
+        # Observation arrays remain bucketed (a permutation + w=0 pads of
+        # the originals) — reprojection_rmse is permutation-invariant, but
+        # lm_idx is local; remap through the layout for the global view.
+        real = layout.obs_perm >= 0
+        lm_global = layout.lm_perm.reshape(-1)
+        shard = np.arange(layout.n_shards).repeat(layout.obs_cap)
+        gl = lm_global[
+            shard * layout.block_size + np.asarray(prob.lm_idx)
+        ]
+        gl[~real] = 0
+        prob = prob._replace(lm_idx=jnp.asarray(gl.astype(np.int32)))
     rmse1 = float(reprojection_rmse(prob))
+    metrics.log(reproj_rmse_after=rmse1)
+    metrics.close()
 
     # Re-anchor the full trajectory on the optimized keyframe poses.
     T_opt = np.asarray(prob.poses)
@@ -306,6 +440,55 @@ def cmd_ba(args):
         "costs": costs,
         "mesh_devices": args.mesh_devices,
     }))
+    return 0
+
+
+def cmd_slam(args):
+    """Config 5 as ONE command: sequence-parallel odometry → ring loop
+    candidates → batched verify → pose graph → blocked sharded BA."""
+    cfg = _setup(args)
+    from rgbd_pose_estimation_tpu.data.icl_nuim import open_sequence
+    from rgbd_pose_estimation_tpu.eval.traj_io import write_tum_trajectory
+    from rgbd_pose_estimation_tpu.models.distributed_slam import distributed_slam
+    from rgbd_pose_estimation_tpu.parallel.mesh import make_mesh
+    from rgbd_pose_estimation_tpu.utils.config import MeshConfig
+    from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(args.metrics)
+    seq = open_sequence(args.dataset)
+    cam = _intrinsics(args.intrinsics, _dataset_cam(args.dataset))
+    n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
+    grays, depths = [], []
+    for i in range(n):
+        _, gray, depth = seq.frame(i)
+        grays.append(gray)
+        depths.append(depth)
+
+    mesh = make_mesh(MeshConfig(hosts=1, chips_per_host=args.mesh_devices))
+    traj = distributed_slam(
+        cam, depths, grays, mesh, cfg,
+        n_chunks=args.chunks, bundle_adjust=not args.no_ba, metrics=metrics,
+    )
+    write_tum_trajectory(args.out, seq.timestamps[:n], traj)
+
+    out = {"frames": n, "mesh_devices": args.mesh_devices, "chunks": args.chunks}
+    try:
+        gt_idx, gt_poses = seq.groundtruth_aligned()
+        keep = gt_idx < n
+        if keep.sum() >= 3:
+            from rgbd_pose_estimation_tpu.eval.ate import ate_rmse
+
+            def _centers(T):
+                return -np.einsum("fji,fj->fi", T[:, :3, :3], T[:, :3, 3])
+
+            out["ate_rmse"] = float(
+                ate_rmse(_centers(traj[gt_idx[keep]]), _centers(gt_poses[keep]))
+            )
+            metrics.log(ate_rmse=out["ate_rmse"])
+    except Exception:
+        pass
+    metrics.close()
+    print(json.dumps(out))
     return 0
 
 
@@ -350,7 +533,7 @@ def cmd_synth(args):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     return {"pair": cmd_pair, "odom": cmd_odom, "eval": cmd_eval,
-            "synth": cmd_synth, "ba": cmd_ba}[args.cmd](args)
+            "synth": cmd_synth, "ba": cmd_ba, "slam": cmd_slam}[args.cmd](args)
 
 
 if __name__ == "__main__":

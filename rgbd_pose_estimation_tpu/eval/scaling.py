@@ -32,10 +32,12 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True,
 
     import jax.numpy as jnp
 
+    from rgbd_pose_estimation_tpu.ba.cluster import block_ba_problem
     from rgbd_pose_estimation_tpu.ba.schur import make_synthetic_ba_problem
     from rgbd_pose_estimation_tpu.core.lie import se3_exp
     from rgbd_pose_estimation_tpu.parallel.mesh import make_mesh
     from rgbd_pose_estimation_tpu.parallel.sharded import (
+        ba_step_blocked,
         ba_step_sharded,
         score_poses_3d3d_sharded,
     )
@@ -89,9 +91,24 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True,
         jax.block_until_ready(o2[1])
         dt_ba = (time.perf_counter() - t0) / iters
 
+        # Blocked (landmark-local) layout — the north-star BA sharding.
+        prob_b, _, _ = block_ba_problem(prob, n)
+
+        def ba_blocked():
+            return ba_step_blocked(mesh, prob_b, cfg)
+
+        o3 = ba_blocked()
+        jax.block_until_ready(o3[1])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o3 = ba_blocked()
+        jax.block_until_ready(o3[1])
+        dt_bab = (time.perf_counter() - t0) / iters
+
         results[n] = {
             "score_hyp_per_s": K / dt_score,
             "ba_obs_per_s": prob.cam_idx.shape[0] / dt_ba,
+            "ba_blocked_obs_per_s": prob.cam_idx.shape[0] / dt_bab,
         }
 
     base = results[sizes[0]]
@@ -100,6 +117,8 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True,
         report["efficiency"][n] = {
             "score": results[n]["score_hyp_per_s"] / (base["score_hyp_per_s"] * n / sizes[0]),
             "ba": results[n]["ba_obs_per_s"] / (base["ba_obs_per_s"] * n / sizes[0]),
+            "ba_blocked": results[n]["ba_blocked_obs_per_s"]
+            / (base["ba_blocked_obs_per_s"] * n / sizes[0]),
         }
     return report
 

@@ -1,0 +1,220 @@
+"""Config-5 end-to-end distributed SLAM: one call wiring every mechanism.
+
+SURVEY.md §3.4 + §5.7 composed (round-2 verdict item 9):
+
+1. **Sequence-parallel front-end** — the video splits into overlapping
+   chunks tracked independently (models/sequence_parallel.py, §5.7(1));
+2. **Ring loop-candidate search** — keyframe depth-thumbnail descriptors
+   are scored all-pairs with the ppermute ring (§5.7(2)) on the mesh;
+3. **Batched geometric verification** — all candidates in one vmapped
+   ICP dispatch (icp/dense.py::icp_track_batch);
+4. **Pose-graph optimization** — dense or PCG per keyframe count (§3.3);
+5. **Blocked sharded BA** — landmark clustering → shard-local blocks →
+   ``ba_solve_blocked`` with O(C) collectives per CG matvec (§3.4).
+
+The single-device twin is ``models/slam.py::Slam``; the integration test
+asserts both pipelines land at matching ATE on a rendered sequence.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
+from rgbd_pose_estimation_tpu.ba.cluster import block_ba_problem, unblock_points
+from rgbd_pose_estimation_tpu.ba.schur import (
+    prune_observations,
+    with_odometry_priors,
+)
+from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+from rgbd_pose_estimation_tpu.core.lie import se3_inverse
+from rgbd_pose_estimation_tpu.graph.pose_graph import (
+    keyframe_descriptor,
+    optimize_pose_graph,
+)
+from rgbd_pose_estimation_tpu.icp.dense import icp_track_batch, make_icp_frame
+from rgbd_pose_estimation_tpu.models.odometry import Keyframe
+from rgbd_pose_estimation_tpu.models.sequence_parallel import (
+    sequence_parallel_odometry,
+)
+from rgbd_pose_estimation_tpu.parallel.sharded import (
+    ba_solve_blocked,
+    ring_similarity,
+)
+from rgbd_pose_estimation_tpu.utils.config import PipelineConfig
+from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
+
+
+def _pad_pow2_rows(x: np.ndarray, multiple: int):
+    k = x.shape[0]
+    pad = (-k) % multiple
+    if pad:
+        x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, k
+
+
+def ring_loop_candidates(
+    mesh,
+    descriptors: np.ndarray,  # (K, D) unit-norm keyframe descriptors
+    min_gap: int,
+    max_candidates: int,
+    min_sim: float = 0.85,
+):
+    """Loop-closure candidate pairs from the ppermute ring similarity.
+
+    The all-pairs (K, K) similarity is computed on the mesh with O(K²/P)
+    per-device memory (SURVEY.md §5.7(2)); the tiny top-k filter runs on
+    host. Descriptor count is padded to the mesh size with zero rows
+    (cosine 0 — never a candidate)."""
+    D, k_real = _pad_pow2_rows(descriptors.astype(np.float32), mesh.size)
+    sim = np.asarray(ring_similarity(mesh, jnp.asarray(D)))[:k_real, :k_real]
+    ia, ib = np.triu_indices(k_real, k=min_gap + 1)
+    vals = sim[ia, ib]
+    order = np.argsort(-vals)[:max_candidates]
+    return [
+        (int(ia[o]), int(ib[o]))
+        for o in order
+        if vals[o] >= min_sim
+    ]
+
+
+def distributed_slam(
+    cam: CameraIntrinsics,
+    depths: Sequence[np.ndarray],
+    grays: Optional[Sequence[np.ndarray]],
+    mesh,
+    cfg: PipelineConfig = PipelineConfig(),
+    n_chunks: int = 2,
+    overlap: int = 3,
+    kf_stride: Optional[int] = None,
+    bundle_adjust: bool = True,
+    loop_min_gap: int = 2,
+    loop_max_candidates: int = 16,
+    loop_min_overlap: float = 0.3,
+    metrics: Optional[MetricsLogger] = None,
+):
+    """Full distributed pipeline; returns the optimized (F, 4, 4) trajectory.
+
+    ``grays`` is required when ``bundle_adjust=True`` (feature tracks).
+    """
+    metrics = metrics or MetricsLogger()
+    n = len(depths)
+
+    # (1) sequence-parallel odometry.
+    traj = sequence_parallel_odometry(
+        cam, depths, n_chunks=n_chunks, overlap=overlap,
+        icp_cfg=cfg.icp, kf_cfg=cfg.keyframe, pg_cfg=cfg.pose_graph,
+    )
+    metrics.log(stage="odometry", frames=n, chunks=n_chunks)
+
+    # Keyframes: fixed stride (the sequence-parallel front-end has no
+    # global keyframe policy; a stride bounds the backend size the same
+    # way the overlap-drop policy does for the streaming front-end).
+    stride = kf_stride or max(1, cfg.keyframe.max_interval // 2)
+    kf_idx = list(range(0, n, stride))
+    if kf_idx[-1] != n - 1:
+        kf_idx.append(n - 1)
+    kfs = []
+    for i in kf_idx:
+        frame = make_icp_frame(cam, jnp.asarray(depths[i]), cfg.icp)
+        kfs.append(Keyframe(index=i, pose=traj[i], frame=frame))
+
+    # (2) ring candidate search + (3) batched ICP verification.
+    desc = np.stack([keyframe_descriptor(k) for k in kfs])
+    pairs = ring_loop_candidates(
+        mesh, desc, loop_min_gap, loop_max_candidates
+    )
+    loop_edges = []
+    if pairs:
+        inv_poses = np.asarray(
+            se3_inverse(jnp.asarray(np.stack([k.pose for k in kfs], 0)))
+        )
+        T_init = jnp.asarray(
+            np.stack([kfs[a].pose @ inv_poses[b] for a, b in pairs], 0)
+        )
+        stk = lambda fr: jax.tree.map(lambda *xs: jnp.stack(xs, 0), *fr)
+        src = stk([kfs[b].frame for _, b in pairs])
+        tgt = stk([kfs[a].frame for a, _ in pairs])
+        T_rel, stats = icp_track_batch(cam, cfg.icp, T_init, src, tgt)
+        valid0 = jnp.sum(
+            jnp.sum(src.normals[0] ** 2, axis=-1) > 0.5, axis=(1, 2)
+        )
+        ovl = np.asarray(stats[:, 1]) / np.maximum(
+            np.asarray(valid0, np.float64), 1.0
+        )
+        T_rel = np.asarray(T_rel)
+        loop_edges = [
+            (a, b, T_rel[k], float(ovl[k]))
+            for k, (a, b) in enumerate(pairs)
+            if ovl[k] > loop_min_overlap
+        ]
+    metrics.log(stage="loops", candidates=len(pairs), accepted=len(loop_edges))
+
+    # (4) keyframe pose graph: odometry edges from the stitched trajectory
+    # + verified loop edges.
+    K = len(kfs)
+    ei, ej, Tm, w = [], [], [], []
+    for a in range(K - 1):
+        M = kfs[a].pose @ np.asarray(se3_inverse(jnp.asarray(kfs[a + 1].pose)))
+        ei.append(a); ej.append(a + 1); Tm.append(M)
+        w.append(1.0 / cfg.pose_graph.odom_sigma**2)
+    for a, b, T_rel, ovl in loop_edges:
+        ei.append(a); ej.append(b); Tm.append(T_rel)
+        w.append(ovl / cfg.pose_graph.loop_sigma**2)
+    T_opt, _ = optimize_pose_graph(
+        jnp.asarray(np.stack([k.pose for k in kfs])),
+        jnp.asarray(ei, jnp.int32),
+        jnp.asarray(ej, jnp.int32),
+        jnp.asarray(np.stack(Tm)),
+        jnp.asarray(w, jnp.float32),
+        cfg.pose_graph,
+    )
+    kf_poses = np.asarray(T_opt)
+    metrics.log(stage="pose_graph", keyframes=K, edges=len(ei))
+
+    # (5) blocked sharded BA over keyframe features.
+    if bundle_adjust:
+        if grays is None:
+            raise ValueError("bundle_adjust=True requires gray images")
+        prob, info = build_ba_problem(
+            cam,
+            [np.asarray(grays[i]) for i in kf_idx],
+            [np.asarray(depths[i]) for i in kf_idx],
+            kf_poses,
+            extra_pairs=[(a, b) for a, b, _, _ in loop_edges],
+            pad_to_multiple=max(8, mesh.size),
+        )
+        prob = prune_observations(
+            prob, cfg.ba.huber_delta * 3.0, cfg.ba.depth_weight
+        )
+        if cfg.ba.prior_weight > 0:
+            # Odometry fusion: consecutive keyframes + verified loop pairs
+            # (their relative transforms are ICP-verified — trust them).
+            edges = [(a, a + 1) for a in range(len(kf_idx) - 1)]
+            edges += [(a, b) for a, b, _, _ in loop_edges]
+            prob = with_odometry_priors(prob, cfg.ba.prior_weight, edges)
+        blocked, layout, cstats = block_ba_problem(prob, mesh.size)
+        out, costs = ba_solve_blocked(mesh, blocked, cfg.ba)
+        kf_poses = np.asarray(out.poses)
+        metrics.log(
+            stage="ba", layout="blocked",
+            cost_first=float(costs[0]), cost_last=float(costs[-1]),
+            **{k: cstats[k] for k in ("span_cut_after", "obs_imbalance")},
+        )
+
+    # Re-anchor every frame on its parent keyframe's optimized pose.
+    out_traj = np.empty_like(traj)
+    cur = 0
+    for f in range(n):
+        while cur + 1 < len(kf_idx) and kf_idx[cur + 1] <= f:
+            cur += 1
+        rel = traj[f] @ np.asarray(
+            se3_inverse(jnp.asarray(np.asarray(kfs[cur].pose, np.float32)))
+        )
+        out_traj[f] = rel @ kf_poses[cur]
+    return out_traj

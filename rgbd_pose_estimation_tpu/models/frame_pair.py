@@ -27,7 +27,9 @@ from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
 from rgbd_pose_estimation_tpu.features.frontend import matched_2d3d, matched_3d3d
 from rgbd_pose_estimation_tpu.ransac.engine import (
     estimate_pose_2d3d,
+    estimate_pose_2d3d_adaptive,
     estimate_pose_3d3d,
+    estimate_pose_3d3d_adaptive,
     pad_correspondences_3d3d,
     pad_points_obs_2d3d,
 )
@@ -52,6 +54,9 @@ class FramePairEstimator:
     max_features: int = 512
     max_corr: int = 512
     detector: str = "orb"  # "orb" (host OpenCV) or "tpu" (on-device FAST+BRIEF)
+    adaptive: bool = False  # two-round probe/escalate schedule (engine.py):
+    # per-frame hypothesis work adapts to the inlier ratio; num_hypotheses
+    # in the result reports what was actually scored (the metrics field).
 
     def estimate(self, gray_a, depth_a, gray_b, depth_b=None, key=None) -> FramePairEstimate:
         """Estimate the pose taking frame-A camera points to frame B."""
@@ -70,7 +75,10 @@ class FramePairEstimator:
             p_pad, q_pad = pad_correspondences_3d3d(
                 jnp.asarray(p[:n]), jnp.asarray(q[:n]), self.max_corr
             )
-            res = estimate_pose_3d3d(key, p_pad, q_pad, self.cfg)
+            est = (
+                estimate_pose_3d3d_adaptive if self.adaptive else estimate_pose_3d3d
+            )
+            res = est(key, p_pad, q_pad, self.cfg)
         else:
             pts, obs = matched_2d3d(
                 self.cam, gray_a, depth_a, gray_b, self.max_features,
@@ -80,7 +88,10 @@ class FramePairEstimator:
             pts_pad, obs_pad = pad_points_obs_2d3d(
                 jnp.asarray(pts[:n]), jnp.asarray(obs[:n]), self.max_corr
             )
-            res = estimate_pose_2d3d(key, pts_pad, obs_pad, self.cfg)
+            est = (
+                estimate_pose_2d3d_adaptive if self.adaptive else estimate_pose_2d3d
+            )
+            res = est(key, pts_pad, obs_pad, self.cfg)
         return FramePairEstimate(
             pose=np.asarray(res.pose),
             num_inliers=int(res.num_inliers),

@@ -64,7 +64,11 @@ class Slam:
             raise ValueError("bundle_adjust=True requires gray images in track()")
 
         from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
-        from rgbd_pose_estimation_tpu.ba.schur import ba_step, prune_observations
+        from rgbd_pose_estimation_tpu.ba.schur import (
+            ba_step,
+            prune_observations,
+            with_odometry_priors,
+        )
 
         kf_idx = [k.index for k in self.odo.keyframes]
         kf_poses_pg = np.stack([traj[i] for i in kf_idx])
@@ -79,8 +83,12 @@ class Slam:
             pad_to_multiple=pad,
         )
         # The initialization is already good (odometry + pose graph): prune
-        # contaminated tracks against it before letting BA move anything.
+        # contaminated tracks against it before letting BA move anything,
+        # and fuse the odometry's relative-motion knowledge as priors so a
+        # weak feature problem refines poses instead of replacing them.
         prob = prune_observations(prob, self.cfg.ba.huber_delta * 3.0, self.cfg.ba.depth_weight)
+        if self.cfg.ba.prior_weight > 0:
+            prob = with_odometry_priors(prob, self.cfg.ba.prior_weight)
 
         def step(p):
             if mesh is not None:

@@ -90,7 +90,11 @@ def ba_step_sharded(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
     def body(p):
         return ba_step(p, cfg, psum=lambda x: jax.lax.psum(x, axes))
 
-    spec = sl.ba_problem(blocked=False, has_obs_z=prob.obs_z is not None)
+    spec = sl.ba_problem(
+        blocked=False,
+        has_obs_z=prob.obs_z is not None,
+        has_prior=prob.prior_i is not None,
+    )
     f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
     return f(prob)
 
@@ -119,7 +123,11 @@ def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
             psum_lm=lambda x: x,
         )
 
-    spec = sl.ba_problem(blocked=True, has_obs_z=prob.obs_z is not None)
+    spec = sl.ba_problem(
+        blocked=True,
+        has_obs_z=prob.obs_z is not None,
+        has_prior=prob.prior_i is not None,
+    )
     f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
     return f(prob)
 
@@ -145,7 +153,11 @@ def ba_solve_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
 
         return jax.lax.scan(inner, p, None, length=cfg.outer_iters)
 
-    spec = sl.ba_problem(blocked=True, has_obs_z=prob.obs_z is not None)
+    spec = sl.ba_problem(
+        blocked=True,
+        has_obs_z=prob.obs_z is not None,
+        has_prior=prob.prior_i is not None,
+    )
     f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
     return f(prob)
 

@@ -67,17 +67,27 @@ class SpecLayout:
         collective payload per CG matvec is independent of L."""
         return P(self.axes)
 
-    def ba_problem(self, blocked: bool, has_obs_z: bool) -> BAProblem:
-        """Specs for a full BAProblem pytree under either landmark layout."""
+    def ba_problem(
+        self, blocked: bool, has_obs_z: bool, has_prior: bool = False
+    ) -> BAProblem:
+        """Specs for a full BAProblem pytree under either landmark layout.
+
+        Relative-pose prior edges are camera-sized — replicated, like the
+        cameras they couple."""
         obs = self.observations()
+        rep = self.cameras()
         return BAProblem(
-            poses=self.cameras(),
+            poses=rep,
             points=self.landmarks_blocked() if blocked else self.landmarks_replicated(),
             cam_idx=obs,
             lm_idx=obs,
             obs=obs,
             w=obs,
             obs_z=obs if has_obs_z else None,
+            prior_i=rep if has_prior else None,
+            prior_j=rep if has_prior else None,
+            prior_T_inv=rep if has_prior else None,
+            prior_w=rep if has_prior else None,
         )
 
     # --- ring association (CP over keyframe blocks) ---

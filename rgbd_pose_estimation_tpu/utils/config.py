@@ -92,6 +92,11 @@ class BAConfig:
     depth_weight: float = 1.0  # weight of the RGB-D depth residual (1/m
     #   units; 0 disables depth rows and reverts to pure reprojection BA —
     #   which then has a free scale gauge, so keep it on for RGB-D)
+    prior_weight: float = 100.0  # odometry relative-pose prior information
+    #   (ba/schur.py with_odometry_priors). Dense odometry knows relative
+    #   motion to ~1e-3; feature tracks on small problems are far weaker —
+    #   without this, BA trades real pose accuracy for reprojection
+    #   residual. 0 disables (pure feature BA).
 
 
 @dataclasses.dataclass(frozen=True)
