@@ -23,8 +23,8 @@ def _data(seed, m):
 
 class TestIcpJtJ:
     def test_pack_pads_with_zero_weight(self):
-        data = _data(0, 1000)  # not a multiple of 1024
-        assert data.shape == (10, 8, 128)
+        data = _data(0, 1000)  # not a multiple of 64*128
+        assert data.shape == (10, 64, 128)  # padded to the full 64-sublane tile
         w = np.asarray(data[9]).reshape(-1)
         assert np.all(w[1000:] == 0.0)
 

@@ -1,30 +1,25 @@
-"""Roofline audit of the two production Pallas kernels (VERDICT round-1 #3).
+"""Roofline audit of the production Pallas kernels (VERDICT round-1 #3).
 
 "Speed-of-light" must be measured, not asserted (BASELINE.json:5 "kernels at
-speed-of-light per chip"). This tool establishes THREE empirical ceilings on
-the exact chip under test — nominal v5e datasheet peaks are reported too, but
-the axon tunnel + experimental PJRT make *measured* ceilings the honest
-denominator:
+speed-of-light per chip"). Two measurement layers:
 
-  1. HBM stream bandwidth  : big-array copy-scale, bytes moved / s
-  2. VPU fp32 throughput   : Pallas kernel, VMEM-resident FMA chain
-  3. MXU fp32/bf16 matmul  : 4096^3 jnp.dot
+1. **Ceilings** — empirical peaks of the exact chip under test (nominal v5e
+   datasheet values reported alongside): HBM stream bandwidth, VPU fp32 FMA
+   throughput, MXU matmul throughput.
+2. **Kernel audits** — the production kernels measured against those
+   ceilings: MSAC scoring (HOT LOOP #1, VPU-bound by design) and ICP JtJ
+   accumulation (HOT LOOP #2, HBM-bound by design), plus the dense-ICP
+   finest-level GN iteration and the full 3-level track.
 
-and then measures the production kernels against them:
-
-  - ransac_score.score_poses_3d3d (HOT LOOP #1): VPU-bound by design — the
-    (K, N) residual matrix never touches HBM, so its roof is ceiling 2.
-  - icp_jtj.icp_jtj_jtr (HOT LOOP #2): reads (10, S, 128) from HBM, does
-    ~143 flops per pixel (15 VPU + one 8x(8x128) MXU contraction per tile);
-    arithmetic intensity ~3.6 flop/byte → its roof is ceiling 1 (bandwidth).
-  - dense-ICP finest-level iteration breakdown: full step vs kernel-only vs
-    associate+pack-only, to locate the HBM round-trip cost of the
-    pallas_call boundary (VERDICT weak #2).
-
-Timing protocol per BASELINE.md's measurement-integrity note: one float()
-fetch pins the process to confirmed-execution mode before any timing; each
-measurement warms up, then submits `iters` dispatches back-to-back and blocks
-once at the end (pipelined), so tunnel RTT amortizes away.
+Timing protocol — **scan-chained, in-program**: the axon tunnel charges
+~0.5–1 ms per dispatch, so per-call wall timing of a ~100 us kernel measures
+the tunnel, not the kernel. Every measurement here compiles ONE program
+that runs the operation n times under ``lax.scan`` with a data dependence
+chained through the carry (so XLA cannot batch, elide, or reorder the
+iterations), times it at two different n, and reports the slope
+``(t(n2) - t(n1)) / (n2 - n1)`` — dispatch overhead and compile cost cancel
+exactly. One ``float()`` fetch pins the process to confirmed-execution mode
+first (BASELINE.md measurement-integrity note).
 
 Run:  python tools/roofline.py            (prints a markdown table)
 """
@@ -57,31 +52,64 @@ def _pin_confirmed_execution():
     float(jnp.sum(x))
 
 
-def timeit(fn, *args, iters: int = 50, warmup: int = 5) -> float:
-    """Seconds per call, pipelined dispatch (block once at the end)."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+def _walltime(fn, *args, reps: int = 3) -> float:
+    """Best-of-reps wall time of one already-compiled call."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timeit_scan(
+    step,
+    x0,
+    n1: int = 4,
+    n2: int = 36,
+    reps: int = 5,
+    min_delta_s: float = 8e-3,
+    max_n2: int = 1 << 14,
+) -> float:
+    """Per-iteration seconds of ``step`` chained through a lax.scan carry.
+
+    ``step: x -> x`` (same pytree structure/shapes). Returns the slope of
+    wall time between scan lengths n1 and n2 — per-dispatch overhead and
+    the one-time program costs cancel. Auto-calibrates: grows n2 until the
+    wall-time delta is at least ``min_delta_s`` so tunnel jitter (~0.3 ms
+    per fetch on axon) stays below a few percent of the measurement.
+    """
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def run(x, n):
+        def body(c, _):
+            return step(c), None
+
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out
+
+    jax.block_until_ready(run(x0, n1))  # compile once per length
+    while True:
+        jax.block_until_ready(run(x0, n2))
+        t1 = _walltime(run, x0, n1, reps=reps)
+        t2 = _walltime(run, x0, n2, reps=reps)
+        delta = t2 - t1
+        if delta >= min_delta_s or n2 >= max_n2:
+            return delta / (n2 - n1)
+        est = max(delta / (n2 - n1), 1e-7)
+        n2 = min(max_n2, max(n2 * 4, n1 + int(min_delta_s / est)))
 
 
 # ---------------------------------------------------------------- ceilings
 
 
-def ceiling_hbm(nbytes_target: int = 256 * 1024 * 1024) -> float:
-    """Achieved HBM GB/s: y = a*x + b over an array far larger than VMEM."""
-    n = nbytes_target // 4
-    x = jnp.ones((n // 128, 128), jnp.float32)
+def ceiling_hbm(nbytes: int = 256 * 1024 * 1024) -> float:
+    """Achieved HBM GB/s: scan-chained big-array read-modify-write."""
+    n = nbytes // 4
+    x = jnp.full((n // 128, 128), 1.5, jnp.float32)
 
-    @jax.jit
-    def stream(x):
-        return x * 1.000001 + 2.0
-
-    s = timeit(stream, x, iters=20)
-    moved = 2 * x.size * 4  # read + write
+    s = timeit_scan(lambda x: x * 0.999 + 0.002, x)
+    moved = 2 * x.size * 4  # read + write per iteration
     return moved / s / 1e9
 
 
@@ -89,8 +117,7 @@ _FMA_REPS = 256
 
 
 def _vpu_kernel(x_ref, o_ref):
-    x = x_ref[:]
-    a = x * 0.999 + 1e-7
+    a = x_ref[:]
     for _ in range(_FMA_REPS):
         a = a * 0.9999847412109375 + 1.52587890625e-05
     o_ref[:] = a
@@ -100,7 +127,6 @@ def ceiling_vpu(st: int = 512, grid: int = 64) -> float:
     """Achieved VPU fp32 TFLOP/s: VMEM-resident FMA chain."""
     x = jnp.ones((grid * st, 128), jnp.float32)
 
-    @jax.jit
     def run(x):
         return pl.pallas_call(
             _vpu_kernel,
@@ -112,21 +138,19 @@ def ceiling_vpu(st: int = 512, grid: int = 64) -> float:
             out_shape=jax.ShapeDtypeStruct((grid * st, 128), jnp.float32),
         )(x)
 
-    s = timeit(run, x, iters=30)
-    flops = 2 * (_FMA_REPS + 1) * x.size
+    s = timeit_scan(run, x)
+    flops = 2 * _FMA_REPS * x.size
     return flops / s / 1e12
 
 
 def ceiling_mxu(n: int = 4096, dtype=jnp.bfloat16) -> float:
-    """Achieved MXU TFLOP/s: n^3 matmul."""
+    """Achieved MXU TFLOP/s: scan-chained n^3 matmul (fixed point a@b' = a)."""
     a = jnp.ones((n, n), dtype)
-    b = jnp.ones((n, n), dtype)
+    b = jnp.full((n, n), 1.0 / n, dtype)
 
-    @jax.jit
-    def mm(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
-    s = timeit(mm, a, b, iters=20)
+    s = timeit_scan(
+        lambda x: jnp.dot(x, b, preferred_element_type=dtype), a
+    )
     return 2 * n**3 / s / 1e12
 
 
@@ -134,6 +158,7 @@ def ceiling_mxu(n: int = 4096, dtype=jnp.bfloat16) -> float:
 
 
 def audit_msac(K: int = 4096, N: int = 2048):
+    """MSAC scoring kernel per-call time via a T-chained scan."""
     from rgbd_pose_estimation_tpu.ops.ransac_score import (
         score_poses_3d3d,
         score_poses_3d3d_reference,
@@ -146,17 +171,18 @@ def audit_msac(K: int = 4096, N: int = 2048):
     p = jax.random.normal(jax.random.key(1), (N, 3))
     q = jax.random.normal(jax.random.key(2), (N, 3))
 
-    s_pal = timeit(
-        functools.partial(score_poses_3d3d, threshold=0.05), T, p, q
-    )
-    s_xla = timeit(
-        functools.partial(
-            jax.jit(score_poses_3d3d_reference, static_argnames="threshold"),
-            threshold=0.05,
-        ),
-        T,
-        p,
-        q,
+    def chain(fn):
+        def step(T):
+            msac, cnt = fn(T, p, q, 0.05)
+            # Feed the scores back into the poses: tiny elementwise pass
+            # over (K,4,4) — forces serialization, costs ~K*16 flops.
+            return T + 1e-30 * msac[:, None, None]
+
+        return step
+
+    s_pal = timeit_scan(chain(score_poses_3d3d), T)
+    s_xla = timeit_scan(
+        chain(jax.jit(score_poses_3d3d_reference, static_argnames="threshold")), T
     )
     flops = 23 * K * N
     hbm_bytes = 4 * (12 * K + 6 * N + 2 * K)  # by design: no (K,N) in HBM
@@ -169,21 +195,37 @@ def audit_msac(K: int = 4096, N: int = 2048):
     }
 
 
-def audit_jtj(S: int = 2400):
-    """S=2400 == 640x480 padded — the finest-level production shape."""
+def audit_jtj(S: int = 2432, impl: str = "vpu"):
+    """ICP JtJ kernel per-call time via a data-chained scan.
+
+    S=2432 == 640x480 padded to the 64-sublane tile — the production
+    finest-level shape.
+    """
     from rgbd_pose_estimation_tpu.ops.icp_jtj import (
         icp_jtj_jtr,
         icp_jtj_jtr_reference,
     )
 
     data = jax.random.normal(jax.random.key(0), (10, S, 128), jnp.float32)
-    s_pal = timeit(icp_jtj_jtr, data)
-    s_xla = timeit(jax.jit(icp_jtj_jtr_reference), data)
+
+    def chain(fn):
+        def step(data):
+            JtJ, Jtr, err, wsum = fn(data)
+            # One-element dependence injected with dynamic_update_slice:
+            # in-place inside the scan, so the chain costs ~nothing.
+            return jax.lax.dynamic_update_slice(
+                data, (1e-30 * err).reshape(1, 1, 1), (0, 0, 0)
+            )
+
+        return step
+
+    s_pal = timeit_scan(chain(functools.partial(icp_jtj_jtr, impl=impl)), data)
+    s_xla = timeit_scan(chain(jax.jit(icp_jtj_jtr_reference)), data)
     M = S * 128
-    flops = 15 * M + 2 * 8 * 8 * M  # elementwise J build + (8,M)@(M,8)
-    hbm_bytes = data.size * 4  # read once; output is 8x128
+    flops = 87 * M  # 15 J-build + 36*2 pair-product/accumulate
+    hbm_bytes = data.size * 4  # read once; output is lane partials
     return {
-        "name": f"ICP JtJ S={S} (M={M})",
+        "name": f"ICP JtJ[{impl}] S={S} (M={M})",
         "s_pallas": s_pal,
         "s_xla": s_xla,
         "flops": flops,
@@ -191,17 +233,14 @@ def audit_jtj(S: int = 2400):
     }
 
 
-def audit_icp_step(H: int = 480, W: int = 640):
-    """Break one finest-level GN iteration into its three stages."""
+def _icp_setup(H: int, W: int):
     from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
-    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
     from rgbd_pose_estimation_tpu.data.geometry import normal_map, vertex_map
-    from rgbd_pose_estimation_tpu.icp.dense import _level_iteration
-    from rgbd_pose_estimation_tpu.ops.icp_jtj import icp_jtj_jtr, pack_icp_data
-    from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
 
-    cam = CameraIntrinsics(fx=525.0, fy=525.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5, width=W, height=H)
-    cfg = IcpConfig(levels=1, iters_per_level=(1,))
+    cam = CameraIntrinsics(
+        fx=525.0, fy=525.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5, width=W, height=H
+    )
     d0, _ = synthetic_depth_scene(cam, jnp.eye(4))
     d1, _ = synthetic_depth_scene(
         cam,
@@ -212,20 +251,34 @@ def audit_icp_step(H: int = 480, W: int = 640):
     )
     sv, tv = vertex_map(cam, d0), vertex_map(cam, d1)
     sn, tn = normal_map(sv), normal_map(tv)
+    return cam, sv, sn, tv, tn
+
+
+def audit_icp_step(H: int = 480, W: int = 640):
+    """Dense-ICP finest-level GN iteration: in-program per-iteration cost.
+
+    The GN step already chains T -> T, so the scan slope is exactly the
+    converged steady-state iteration time. The association-only slope uses
+    the same chain with the JtJ kernel replaced by a (measured-separately)
+    full read of the packed tensor.
+    """
+    from rgbd_pose_estimation_tpu.icp.dense import _level_iteration
+    from rgbd_pose_estimation_tpu.ops.icp_jtj import pack_icp_data
+    from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+    cfg = IcpConfig(levels=1, iters_per_level=(1,))
+    cam, sv, sn, tv, tn = _icp_setup(H, W)
 
     step = _level_iteration(cam, cfg, sv, sn, tv, tn)
-    T0 = jnp.eye(4)
+    s_full = timeit_scan(lambda T: step(T, None)[0], jnp.eye(4))
 
-    @jax.jit
-    def full(T):
-        return step(T, None)[0]
-
-    # Stage A: warp + associate + gate + pack (everything before pallas_call)
+    # Association+pack only: same warp/gather/gate/pack, then a full
+    # sum-reduce of the packed tensor stands in for "consume everything"
+    # (costs one extra HBM read of the pack, reported separately).
     tgt_pack = jnp.concatenate([tv.reshape(-1, 3), tn.reshape(-1, 3)], -1)
     svf, snf = sv.reshape(-1, 3), sn.reshape(-1, 3)
 
-    @jax.jit
-    def assoc_pack(T):
+    def assoc_step(T):
         R, t = T[:3, :3], T[:3, 3]
         p = svf @ R.T + t
         z = jnp.maximum(p[:, 2], 1e-6)
@@ -238,20 +291,59 @@ def audit_icp_step(H: int = 480, W: int = 640):
         g = jnp.take(tgt_pack, idx, axis=0)
         q, nt = g[:, 0:3], g[:, 3:6]
         r = jnp.sum(nt * (p - q), axis=-1)
-        w = jnp.where(in_b, jnp.minimum(1.0, 0.05 / jnp.maximum(jnp.abs(r), 1e-12)), 0.0)
-        return pack_icp_data(p, q, nt, w)
+        w = jnp.where(
+            in_b, jnp.minimum(1.0, 0.05 / jnp.maximum(jnp.abs(r), 1e-12)), 0.0
+        )
+        data = pack_icp_data(p, q, nt, w)
+        return T + 1e-30 * jnp.sum(data)
 
-    data = assoc_pack(T0)
+    s_assoc = timeit_scan(assoc_step, jnp.eye(4))
 
-    s_full = timeit(full, T0)
-    s_assoc = timeit(assoc_pack, T0)
-    s_kernel = timeit(icp_jtj_jtr, data)
+    # The stand-in consume: one full read of the packed tensor.
+    data = jnp.ones((10, 2432, 128), jnp.float32)
+    s_read = timeit_scan(
+        lambda d: jax.lax.dynamic_update_slice(
+            d, (1e-30 * jnp.sum(d)).reshape(1, 1, 1), (0, 0, 0)
+        ),
+        data,
+    )
+
     return {
         "full_step_s": s_full,
-        "assoc_pack_s": s_assoc,
-        "kernel_s": s_kernel,
-        "pack_bytes": data.size * 4,
+        "assoc_pack_plus_read_s": s_assoc,
+        "pack_read_s": s_read,
+        "pack_bytes": 10 * 2432 * 128 * 4,
     }
+
+
+def audit_icp_track(H: int = 480, W: int = 640):
+    """Full 3-level (5,7,10)-iteration track, chained track-to-track."""
+    from rgbd_pose_estimation_tpu.icp.dense import icp_track, make_icp_frame
+    from rgbd_pose_estimation_tpu.utils.config import IcpConfig
+
+    cfg = IcpConfig()
+    cam, sv, sn, tv, tn = _icp_setup(H, W)
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
+
+    d0, _ = synthetic_depth_scene(cam, jnp.eye(4))
+    d1, _ = synthetic_depth_scene(
+        cam,
+        jnp.array(
+            [[1, 0, 0, 0.01], [0, 1, 0, 0.0], [0, 0, 1, 0.005], [0, 0, 0, 1]],
+            jnp.float32,
+        ),
+    )
+    src = make_icp_frame(cam, d0, cfg)
+    tgt = make_icp_frame(cam, d1, cfg)
+
+    body = icp_track.__wrapped__
+
+    def step(T):
+        T2, _ = body(cam, cfg, T, src, tgt)
+        return T2
+
+    s = timeit_scan(step, jnp.eye(4), n1=2, n2=12)
+    return {"track_s": s}
 
 
 def main():
@@ -262,7 +354,7 @@ def main():
     vpu = ceiling_vpu()
     mxu_bf16 = ceiling_mxu(dtype=jnp.bfloat16)
     mxu_f32 = ceiling_mxu(dtype=jnp.float32)
-    print("\n## Measured ceilings (this chip, axon tunnel, pipelined)\n")
+    print("\n## Measured ceilings (this chip, scan-chained in-program timing)\n")
     print("| ceiling | measured | nominal v5e |")
     print("|---|---|---|")
     print(f"| HBM stream | {hbm:.0f} GB/s | {NOMINAL['hbm_gbps']:.0f} GB/s |")
@@ -270,10 +362,17 @@ def main():
     print(f"| MXU bf16 4096^3 | {mxu_bf16:.1f} TFLOP/s | {NOMINAL['mxu_bf16_tflops']} TFLOP/s |")
     print(f"| MXU fp32 4096^3 | {mxu_f32:.1f} TFLOP/s | — |")
 
-    print("\n## Kernel audits\n")
+    print("\n## Kernel audits (per-call slope; dispatch overhead cancelled)\n")
     print("| kernel | time | vs XLA twin | GFLOP/s | %VPU roof | GB/s (HBM) | %HBM roof |")
     print("|---|---|---|---|---|---|---|")
-    for a in (audit_msac(4096, 2048), audit_msac(32768, 2048), audit_jtj(2400), audit_jtj(600)):
+    audits = [
+        audit_msac(4096, 2048),
+        audit_msac(32768, 2048),
+        audit_jtj(2432, impl="vpu"),
+        audit_jtj(2432, impl="mxu"),
+        audit_jtj(640, impl="vpu"),
+    ]
+    for a in audits:
         gf = a["flops"] / a["s_pallas"] / 1e9
         gb = a["hbm_bytes"] / a["s_pallas"] / 1e9
         print(
@@ -282,15 +381,25 @@ def main():
         )
 
     icp = audit_icp_step()
-    rt = 2 * icp["pack_bytes"] / (hbm * 1e9)
-    print("\n## ICP finest-level iteration breakdown (640x480)\n")
+    assoc = icp["assoc_pack_plus_read_s"] - icp["pack_read_s"]
+    kernel_share = icp["full_step_s"] - assoc
+    print("\n## ICP finest-level GN iteration breakdown (640x480, in-program)\n")
     print(f"- full step (assoc+pack+kernel+6x6 solve): {icp['full_step_s']*1e6:.0f} us")
-    print(f"- assoc+pack alone (gather + elementwise + (10,S,128) write): {icp['assoc_pack_s']*1e6:.0f} us")
-    print(f"- JtJ kernel alone (read (10,S,128)): {icp['kernel_s']*1e6:.0f} us")
+    print(
+        f"- assoc+pack (gather + elementwise + (10,S,128) write): {assoc*1e6:.0f} us"
+        f"  [measured with +read stand-in {icp['assoc_pack_plus_read_s']*1e6:.0f} us"
+        f" minus pack read {icp['pack_read_s']*1e6:.0f} us]"
+    )
+    print(f"- implied kernel+solve share of full step: {kernel_share*1e6:.0f} us")
     print(
         f"- pack HBM round-trip lower bound (2 x {icp['pack_bytes']/1e6:.1f} MB "
-        f"@ measured {hbm:.0f} GB/s): {rt*1e6:.0f} us "
-        f"({rt/icp['full_step_s']*100:.1f}% of the full step)"
+        f"@ measured {hbm:.0f} GB/s): {2*icp['pack_bytes']/(hbm*1e9)*1e6:.0f} us"
+    )
+
+    tr = audit_icp_track()
+    print(
+        f"\n- full 3-level (5,7,10) 640x480 track, in-program: "
+        f"{tr['track_s']*1e3:.2f} ms ({1/tr['track_s']:.0f} tracks/s)"
     )
 
 
