@@ -89,7 +89,7 @@ def make_icp_frame(
 
 def _level_iteration(
     cam_l: CameraIntrinsics, cfg: IcpConfig, src_v, src_n, tgt_v, tgt_n,
-    src_ph=None, tgt_ph=None,
+    src_ph=None, tgt_ph=None, level: int = 0,
 ):
     """Returns step(T) → (T', stats) for one pyramid level (closure is
     compile-time; shapes static per level).
@@ -102,6 +102,14 @@ def _level_iteration(
     chosen so the kernel's n·(p−q) reproduces r_I exactly.
     """
 
+    stride = cfg.source_stride[level] if level < len(cfg.source_stride) else 1
+    if stride > 1:
+        # Thin the residual sample (gather-index count drops stride^2-fold;
+        # the gather unit is index-rate-bound — see IcpConfig.source_stride).
+        src_v = src_v[::stride, ::stride]
+        src_n = src_n[::stride, ::stride]
+        if src_ph is not None:
+            src_ph = src_ph[::stride, ::stride]
     sv = src_v.reshape(-1, 3)
     sn = src_n.reshape(-1, 3)
     src_valid = (sv[:, 2] > 0) & (jnp.sum(sn * sn, axis=-1) > 0.5)
@@ -248,6 +256,7 @@ def icp_track(
             tgt.vertices[lvl], tgt.normals[lvl],
             src.photo[lvl] if has_photo else None,
             tgt.photo[lvl] if has_photo else None,
+            level=lvl,
         )
         T, stats_seq = jax.lax.scan(step, T, None, length=cfg.iters_per_level[lvl])
         stats = stats_seq[-1]

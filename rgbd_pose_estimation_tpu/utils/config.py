@@ -61,6 +61,15 @@ class IcpConfig:
     # ~3.5x faster per iteration than "bilinear" (4 vertex taps + 1 normal
     # gather) at equal tracking accuracy on the benchmark scenes.
     association: str = "nearest"
+    # Source-pixel subsampling stride per level (finest first). The chip's
+    # gather unit is hard-capped at ~0.29 G indices/s (tools/roofline.py:
+    # payload width, alignment, and sortedness hints all change nothing),
+    # and association is ~95% of a GN step at 640x480 — so the only lever
+    # on the hot loop is issuing fewer indices. Stride s keeps every s-th
+    # source row/column (target maps stay full resolution; only the
+    # residual SAMPLE thins, s^2-fold). Point-to-plane ICP is massively
+    # over-determined: 6 unknowns from ~77k residuals at stride 2.
+    source_stride: tuple = (1, 1, 1)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -224,3 +224,28 @@ class TestPhotometric:
             np.asarray(se3_log(jnp.asarray(np.asarray(T) @ np.linalg.inv(np.asarray(T_true)), jnp.float32)))
         ).max()
         assert err < 2e-3, err
+
+
+class TestSourceStride:
+    """Gather-index thinning (IcpConfig.source_stride): accuracy parity.
+
+    The association gather is index-rate-bound (~0.29 G idx/s measured,
+    tools/roofline.py) and dominates the GN step at full resolution, so
+    production configs thin the SOURCE residual sample. Point-to-plane ICP
+    is overdetermined enough that stride-2 sampling must not move the pose.
+    """
+
+    def test_stride_matches_dense_pose(self):
+        xi = [0.012, -0.006, 0.009, 0.005, -0.004, 0.006]
+        f0, f1, T_gt = _frames(xi)
+        cfg_s = IcpConfig(
+            levels=3, iters_per_level=(4, 5, 8), source_stride=(2, 2, 1)
+        )
+        T_dense, _ = icp_track(CAM, CFG, jnp.eye(4), f0, f1)
+        T_strided, stats = icp_track(CAM, cfg_s, jnp.eye(4), f0, f1)
+        err_gt = np.abs(np.asarray(T_strided) - np.asarray(T_gt)).max()
+        err_pair = np.abs(np.asarray(T_strided) - np.asarray(T_dense)).max()
+        assert err_gt < 2e-3, err_gt
+        assert err_pair < 1e-3, err_pair
+        # The weight-sum drops roughly stride^2-fold at the finest level.
+        assert float(stats[1]) > 100
