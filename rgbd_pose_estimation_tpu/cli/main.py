@@ -60,6 +60,10 @@ def build_parser():
                       choices=["tum_default", "tum_fr1", "icl_nuim", "from_dataset"])
     odom.add_argument("--pose-graph", action="store_true",
                       help="optimize keyframe pose graph at the end (config 4)")
+    odom.add_argument("--pipeline-depth", type=int, default=2,
+                      help="tracks kept in flight before fetching results "
+                      "(hides the device round-trip on remote links; "
+                      "keyframe adoption lags <= this many frames)")
     odom.add_argument("--resume", action="store_true",
                       help="resume from checkpoint next to --out")
     _common(odom)
@@ -242,7 +246,9 @@ def cmd_odom(args):
     with trace_context(args.trace_dir):
         loader = sequence_prefetcher(seq, start, n - start, device_depth=True)
         depths = (depth for _, _, depth in loader)
-        for i, _pose in odo.process_stream(depths, start_index=start):
+        for i, _pose in odo.process_stream(
+            depths, start_index=start, pipeline_depth=args.pipeline_depth
+        ):
             if (i + 1) % 50 == 0:
                 from rgbd_pose_estimation_tpu.utils.checkpoint import (
                     save_odometry_checkpoint,

@@ -113,6 +113,13 @@ class DenseOdometry:
         self._make_frame = jax.jit(_prep)
 
         def _to_device(depth):
+            expect = (cam.height, cam.width)
+            if depth.shape[-2:] != expect:
+                raise ValueError(
+                    f"frame shape {depth.shape[-2:]} does not match the "
+                    f"camera ({expect}); pass --intrinsics from_dataset or "
+                    "the matching CameraIntrinsics"
+                )
             if isinstance(depth, jax.Array):
                 return depth  # already shipped (e.g. by the prefetcher)
             a = np.asarray(depth)
@@ -219,7 +226,13 @@ class DenseOdometry:
 
     # --- pipelined streaming API ----------------------------------------
 
-    def process_stream(self, depths, start_index: int = 0):
+    def process_stream(
+        self,
+        depths,
+        start_index: int = 0,
+        h2d_batch: int = 1,
+        pipeline_depth: int = 2,
+    ):
         """Track an iterable of depth frames, pipelined; yields (i, pose).
 
         Dispatches frame i+1's track before fetching frame i's result, so
@@ -227,8 +240,29 @@ class DenseOdometry:
         in-flight frame chains from the *device-resident* previous result
         (no sync on the critical path); after a keyframe switch it falls
         back to the host value exactly like :meth:`process`.
+
+        ``h2d_batch > 1`` stacks that many host frames into ONE host→device
+        transfer and hands the tracker device-side slices — on links where
+        per-transfer latency dominates (the axon tunnel charges ~40 ms per
+        transfer regardless of size), ingestion cost drops ~h2d_batch-fold.
+        Tracking math and keyframe decisions are unchanged; only ingestion
+        granularity differs (adds ≤h2d_batch frames of latency, throughput
+        pipeline semantics otherwise identical).
+
+        ``pipeline_depth`` frames stay in flight before the oldest result
+        is fetched, and every dispatched result starts its device→host
+        copy immediately (``copy_to_host_async``): with depth D the fetch
+        round-trip of frame i overlaps frames i+1..i+D's compute. Keyframe
+        adoption lags ≤D frames (all in-flight tracks remain geometrically
+        valid against the previous keyframe; drift behavior unchanged).
         """
-        pending = None  # (i, rec, ref_w, t0, T_rel device array)
+        if h2d_batch > 1:
+            depths = self._batch_h2d(depths, h2d_batch)
+        import collections
+
+        pending = collections.deque()  # (i, rec, ref_w, t0) in flight
+        last = None  # (kf, device T_rel of most recent dispatch)
+        depth_cap = max(1, pipeline_depth)
         use_photo = self.icp_cfg.photometric_weight > 0
         for k, item in enumerate(depths):
             # Items may be bare depth maps or (depth, intensity) pairs.
@@ -247,19 +281,66 @@ class DenseOdometry:
                 yield i, self._bootstrap(i, frame, ref_w, t0)
                 continue
             kf = self.keyframes[-1]
-            if pending is not None and pending[1]["kf"] is kf:
-                T_init = pending[4]  # device array: zero-sync chaining
+            if last is not None and last[0] is kf:
+                T_init = last[1]  # device array: zero-sync chaining
             else:
                 T_init = jnp.asarray(self._last_rel)
             rec = self._dispatch(frame, kf, T_init)
-            me = (i, rec, ref_w, t0, rec["out"][0])
-            if pending is not None:
-                pi, prec, pref, pt0, _ = pending
+            # Start the device→host copy of the (tiny) results NOW: it
+            # completes behind later frames' compute, so the eventual
+            # device_get in _resolve finds the bytes already landed —
+            # on remote-attached devices the fetch round-trip is the
+            # per-frame critical path otherwise.
+            for o in rec["out"]:
+                o.copy_to_host_async()
+            pending.append((i, rec, ref_w, t0))
+            last = (kf, rec["out"][0])
+            while len(pending) > depth_cap:
+                pi, prec, pref, pt0 = pending.popleft()
                 yield pi, self._resolve(pi, prec, pref, pt0, pipelined=True)
-            pending = me
-        if pending is not None:
-            pi, prec, pref, pt0, _ = pending
+        while pending:
+            pi, prec, pref, pt0 = pending.popleft()
             yield pi, self._resolve(pi, prec, pref, pt0, pipelined=True)
+
+    @staticmethod
+    def _batch_h2d(items, batch: int):
+        """Re-yield frames (or (depth, intensity) pairs) after stacked H2D.
+
+        Groups ``batch`` host arrays, ships each group as one stacked
+        transfer, then yields per-frame device slices (slicing a resident
+        array costs no host round-trip).
+        """
+
+        def ship(group):
+            has_int = isinstance(group[0], tuple)
+            ds = [g[0] if has_int else g for g in group]
+            dev_d = jnp.asarray(np.stack([np.asarray(d) for d in ds]))
+            if has_int:
+                ints = [np.asarray(g[1]) for g in group]
+                dev_i = jnp.asarray(np.stack(ints))
+                for k in range(len(group)):
+                    yield dev_d[k], dev_i[k]
+            else:
+                for k in range(len(group)):
+                    yield dev_d[k]
+
+        group = []
+        for item in items:
+            if isinstance(item, jax.Array) or (
+                isinstance(item, tuple) and isinstance(item[0], jax.Array)
+            ):
+                # Already device-resident (e.g. the prefetcher shipped it).
+                for g in group:
+                    yield g
+                group = []
+                yield item
+                continue
+            group.append(item)
+            if len(group) == batch:
+                yield from ship(group)
+                group = []
+        if group:
+            yield from ship(group)
 
     def trajectory(self) -> np.ndarray:
         return np.stack(self.poses) if self.poses else np.zeros((0, 4, 4))

@@ -83,3 +83,35 @@ def test_process_stream_matches_process():
         assert np.abs(rel - rel_gt).max() < 5e-3
     # Stream and sync agree tightly with each other too.
     assert np.abs(ta - tb).max() < 1e-2
+
+
+def test_stream_batched_and_deep_pipeline_accuracy():
+    """h2d_batch and pipeline_depth change ingestion/fetch granularity only:
+    trajectories stay accurate (keyframe adoption may lag ≤depth frames)."""
+    import jax
+
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_sequence
+    from rgbd_pose_estimation_tpu.models.odometry import DenseOdometry
+    from rgbd_pose_estimation_tpu.utils.config import IcpConfig, KeyframeConfig
+
+    cam = CameraIntrinsics(120.0, 120.0, 79.5, 59.5, 160, 120)
+    poses, depths, _ = synthetic_sequence(cam, jax.random.key(9), 14, 0.01)
+    # u16 sensor units exercise the on-device depth-scale path too.
+    depths_u16 = [np.asarray(np.asarray(d) * 5000.0, np.uint16) for d in depths]
+
+    ref = DenseOdometry(cam, IcpConfig(), KeyframeConfig())
+    for d in depths_u16:
+        ref.process(d)
+
+    for kw in ({"h2d_batch": 4}, {"pipeline_depth": 4},
+               {"h2d_batch": 4, "pipeline_depth": 4}):
+        odo = DenseOdometry(cam, IcpConfig(), KeyframeConfig())
+        out = list(odo.process_stream(iter(depths_u16), **kw))
+        assert [i for i, _ in out] == list(range(14)), kw
+        gt = np.asarray(poses)
+        t = odo.trajectory()
+        rel = t[-1] @ np.linalg.inv(t[0])
+        rel_gt = gt[-1] @ np.linalg.inv(gt[0])
+        assert np.abs(rel - rel_gt).max() < 5e-3, kw
+        assert np.abs(t - ref.trajectory()).max() < 1e-2, kw
