@@ -8,6 +8,13 @@ Baseline (BASELINE.md / BASELINE.json:5): the north-star demands ">1000
 RANSAC hypotheses/frame scored in real time" — at TUM's 30 Hz that is
 30,000 hypotheses/s, which we use as the baseline denominator.
 
+Timing protocol (BASELINE.md round-2 "timing method upgrade"): the headline
+is **scan-chained in-program** — one compiled program runs the estimator n
+times under ``lax.scan`` with a data dependence through the carry, and the
+slope between two n cancels the axon tunnel's ~0.5–1 ms per-dispatch cost
+(which PCIe-attached production hosts do not pay). Dispatch-pipelined and
+fully-synchronous numbers are reported in ``detail`` for context.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "hypotheses/s", "vs_baseline": N/30000}
 """
@@ -26,14 +33,13 @@ sys.path.insert(0, ".")
 from rgbd_pose_estimation_tpu.data.synthetic import synthetic_correspondences
 from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_3d3d
 from rgbd_pose_estimation_tpu.utils.config import RansacConfig
+from tools.roofline import timeit_scan
 
 BASELINE_HYP_PER_S = 30_000.0  # 1000 hyp/frame x 30 fps (north-star)
 
 
 def main():
-    # K=32768 hypotheses per estimate: throughput scales with batch size
-    # (8.3 ms/estimate — still far inside a 33 ms frame budget, i.e. 32k
-    # hypotheses *per frame* in real time vs the north-star's 1000).
+    # K=32768 hypotheses per estimate: throughput scales with batch size.
     cfg = RansacConfig(
         num_hypotheses=32768, threshold=0.05, refit_rounds=2, solver="horn"
     )
@@ -50,37 +56,42 @@ def main():
     res = estimate_pose_3d3d(key, p, q, cfg)
     jax.block_until_ready(res.pose)
 
-    # Sanity: the estimate must actually be right, or the speed is meaningless.
+    # Sanity: the estimate must actually be right, or the speed is
+    # meaningless. The float() fetch also pins the axon runtime to
+    # confirmed-execution mode before any timing loop.
     err = float(jnp.abs(res.pose - T_gt).max())
     assert err < 0.05, f"benchmark estimator inaccurate: err={err}"
 
+    # Headline: in-program per-estimate time. The chain feeds the previous
+    # estimate's score back into the correspondences (tiny elementwise op)
+    # so iterations serialize and nothing is elided.
+    def est_step(pc):
+        r = estimate_pose_3d3d(key, pc, q, cfg)
+        return pc + 1e-30 * r.score
+
+    dt_prog = timeit_scan(est_step, p, n1=2, n2=12, min_delta_s=8e-3)
+    hyp_per_s = cfg.num_hypotheses / dt_prog
+
+    # Context: pipelined dispatch (one sync at the end) and full-sync modes.
     iters = 30
     keys = jax.random.split(jax.random.key(2), iters)
-    # Warm the dispatch path with the exact loop shape (the first pass over a
-    # fresh key batch pays one-time runtime costs on the axon tunnel).
     for i in range(iters):
         res = estimate_pose_3d3d(keys[i], p, q, cfg)
     jax.block_until_ready(res.pose)
-
-    # Throughput: pipelined dispatch (frames stream in production; host→device
-    # dispatch overlaps device compute), one sync at the end.
     t0 = time.perf_counter()
     for i in range(iters):
         res = estimate_pose_3d3d(keys[i], p, q, cfg)
     jax.block_until_ready(res.pose)
-    dt = (time.perf_counter() - t0) / iters
-
-    # Latency: fully synchronous single-estimate round trip.
+    dt_pipe = (time.perf_counter() - t0) / iters
     t0 = time.perf_counter()
     for i in range(5):
         r2 = estimate_pose_3d3d(keys[i], p, q, cfg)
         jax.block_until_ready(r2.pose)
     dt_sync = (time.perf_counter() - t0) / 5
 
-    hyp_per_s = cfg.num_hypotheses / dt
-
-    # Second north-star kernel: dense-ICP track at full 640x480, device time
-    # (3-level pyramid, (5,7,10) GN iterations, packed nearest association).
+    # Second north-star kernel: dense-ICP track at full 640x480, in-program
+    # (3-level pyramid, (5,7,10) GN iterations, packed nearest association),
+    # at the dense and the config-3 production stride settings.
     from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
     from rgbd_pose_estimation_tpu.core.lie import se3_exp
     from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
@@ -88,21 +99,26 @@ def main():
     from rgbd_pose_estimation_tpu.utils.config import IcpConfig
 
     cam = CameraIntrinsics(525.0, 525.0, 319.5, 239.5, 640, 480)
-    icfg = IcpConfig(downscale=1)
     T_gt = se3_exp(jnp.asarray([0.01, -0.008, 0.005, 0.01, -0.012, 0.008]))
     da, _ = synthetic_depth_scene(cam, jnp.eye(4))
     db, _ = synthetic_depth_scene(cam, T_gt)
-    mk = jax.jit(lambda d: make_icp_frame(cam, d, icfg))
-    fa, fb = mk(da), mk(db)
-    out = icp_track(cam, icfg, jnp.eye(4), fb, fa)
-    # float() fetch also pins the runtime to confirmed-execution timing.
-    icp_err = float(jnp.abs(out[0] @ T_gt - jnp.eye(4)).max())
-    assert icp_err < 0.05, f"icp benchmark inaccurate: {icp_err}"
-    t0 = time.perf_counter()
-    for _ in range(20):
+
+    icp_ms = {}
+    for name, stride in (("dense", (1, 1, 1)), ("config3", (4, 4, 2))):
+        icfg = IcpConfig(downscale=1, source_stride=stride)
+        mk = jax.jit(lambda d: make_icp_frame(cam, d, icfg))
+        fa, fb = mk(da), mk(db)
         out = icp_track(cam, icfg, jnp.eye(4), fb, fa)
-    jax.block_until_ready(out)
-    icp_ms = (time.perf_counter() - t0) / 20 * 1000.0
+        icp_err = float(jnp.abs(out[0] @ T_gt - jnp.eye(4)).max())
+        assert icp_err < 0.05, f"icp benchmark inaccurate ({name}): {icp_err}"
+        body = icp_track.__wrapped__
+
+        def track_step(T, _icfg=icfg, _fa=fa, _fb=fb):
+            T2, _ = body(cam, _icfg, T, _fb, _fa)
+            return T2
+
+        s = timeit_scan(track_step, jnp.eye(4), n1=2, n2=12, min_delta_s=8e-3)
+        icp_ms[name] = s * 1000.0
 
     print(
         json.dumps(
@@ -114,11 +130,18 @@ def main():
                 "detail": {
                     "num_hypotheses": cfg.num_hypotheses,
                     "num_correspondences": n_corr,
-                    "ms_per_estimate_pipelined": round(dt * 1000.0, 3),
+                    "ms_per_estimate_in_program": round(dt_prog * 1000.0, 3),
+                    "ms_per_estimate_pipelined": round(dt_pipe * 1000.0, 3),
                     "ms_per_estimate_sync": round(dt_sync * 1000.0, 3),
                     "pose_max_err": round(err, 5),
-                    "icp_track_640x480_ms": round(icp_ms, 2),
-                    "icp_track_640x480_fps": round(1000.0 / icp_ms, 1),
+                    "icp_track_640x480_ms_dense": round(icp_ms["dense"], 2),
+                    "icp_track_640x480_fps_dense": round(
+                        1000.0 / icp_ms["dense"], 1
+                    ),
+                    "icp_track_640x480_ms_config3": round(icp_ms["config3"], 2),
+                    "icp_track_640x480_fps_config3": round(
+                        1000.0 / icp_ms["config3"], 1
+                    ),
                     "backend": jax.default_backend(),
                 },
             }

@@ -25,6 +25,7 @@ control flow).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from rgbd_pose_estimation_tpu.core.lie import rt_to_matrix, quat_to_rotmat
@@ -106,35 +107,153 @@ def _horn_n_matrix(H: jnp.ndarray) -> jnp.ndarray:
 def horn_quaternion(
     p: jnp.ndarray, q: jnp.ndarray, weights=None, iters: int = 12
 ) -> jnp.ndarray:
-    """Matmul-only absolute orientation (Horn 1987), batched for the MXU.
+    """Batched absolute orientation (Horn 1987), structure-of-arrays form.
 
     The optimal rotation quaternion is the eigenvector of the symmetric 4x4
-    N matrix with the largest eigenvalue. We shift N by its Frobenius norm
-    (making the target eigenvalue the dominant one in magnitude) and run a
-    fixed number of power iterations — no SVD, no eigh, no host branching, so
-    thousands of RANSAC hypotheses batch perfectly. ``iters=12`` recovers the
-    rotation to f32 precision on non-degenerate minimal sets.
+    N matrix with the largest eigenvalue, extracted by a shifted/squared
+    power method — no SVD, no eigh, no host branching.
+
+    Layout note (the reason this is not written with (..., 4, 4) matmuls):
+    arrays whose trailing axis is 3 or 4 occupy 3–4 of a TPU vreg's 128
+    lanes, wasting >96% of every vector op. All per-problem algebra here —
+    cross-covariance, N-matrix, three symmetric 4x4 squarings, the power
+    iteration — is therefore spelled out on COMPONENT arrays of shape
+    ``batch``, which tile the VPU perfectly. Measured on the RANSAC
+    hypothesis path (K=32768 3-point sets): 5.74 ms → ~0.1 ms vs the
+    (K,4,4) matmul formulation. ``iters=12`` after 3 squarings recovers
+    the rotation to f32 precision on non-degenerate sets.
     """
-    cp, cq, _, _, H, _, _ = _weighted_stats(p, q, weights)
-    N = _horn_n_matrix(H)
-    shift = jnp.sqrt(jnp.sum(N * N, axis=(-1, -2), keepdims=True)) + 1e-9
-    A = N + shift * jnp.broadcast_to(jnp.eye(4, dtype=N.dtype), N.shape)
-    # Squaring the shifted matrix doubles the eigenvalue-gap contrast per
-    # step: after k squarings a power step behaves like 2^k plain iterations,
-    # so ``iters`` matmuls ≈ 2^iters-iteration convergence. Normalize by the
-    # Frobenius norm each squaring to avoid overflow.
-    for _ in range(3):
-        A = A @ A
-        A = A / jnp.maximum(
-            jnp.sqrt(jnp.sum(A * A, axis=(-1, -2), keepdims=True)), 1e-20
+    if weights is None:
+        w = jnp.ones(p.shape[:-1], dtype=p.dtype)
+    else:
+        w = weights
+    wsum = jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
+    px, py, pz = p[..., 0], p[..., 1], p[..., 2]  # (..., N)
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+
+    def wmean(x):
+        return jnp.sum(w * x, axis=-1) / wsum
+
+    cpx, cpy, cpz = wmean(px), wmean(py), wmean(pz)
+    cqx, cqy, cqz = wmean(qx), wmean(qy), wmean(qz)
+    pcx = px - cpx[..., None]
+    pcy = py - cpy[..., None]
+    pcz = pz - cpz[..., None]
+    qcx = qx - cqx[..., None]
+    qcy = qy - cqy[..., None]
+    qcz = qz - cqz[..., None]
+
+    def hsum(a, b):
+        return jnp.sum(w * a * b, axis=-1)
+
+    sxx, sxy, sxz = hsum(pcx, qcx), hsum(pcx, qcy), hsum(pcx, qcz)
+    syx, syy, syz = hsum(pcy, qcx), hsum(pcy, qcy), hsum(pcy, qcz)
+    szx, szy, szz = hsum(pcz, qcx), hsum(pcz, qcy), hsum(pcz, qcz)
+
+    # Horn's symmetric 4x4 N matrix, 10 unique components.
+    a00 = sxx + syy + szz
+    a01 = syz - szy
+    a02 = szx - sxz
+    a03 = sxy - syx
+    a11 = sxx - syy - szz
+    a12 = sxy + syx
+    a13 = szx + sxz
+    a22 = -sxx + syy - szz
+    a23 = syz + szy
+    a33 = -sxx - syy + szz
+
+    def frob(m):
+        a00, a01, a02, a03, a11, a12, a13, a22, a23, a33 = m
+        s = (
+            a00 * a00 + a11 * a11 + a22 * a22 + a33 * a33
+            + 2.0 * (a01 * a01 + a02 * a02 + a03 * a03
+                     + a12 * a12 + a13 * a13 + a23 * a23)
         )
-    # Power iteration from a fixed, rotation-generic start vector.
-    v = jnp.broadcast_to(
-        jnp.array([1.0, 0.1, 0.2, 0.3], dtype=N.dtype), N.shape[:-1]
+        return jnp.sqrt(s)
+
+    # Shift by the Frobenius norm so the largest eigenvalue dominates in
+    # magnitude, then square 3 times (each squaring doubles eigen-contrast).
+    sh = frob((a00, a01, a02, a03, a11, a12, a13, a22, a23, a33)) + 1e-9
+    a00, a11, a22, a33 = a00 + sh, a11 + sh, a22 + sh, a33 + sh
+
+    def sym_square(m):
+        a00, a01, a02, a03, a11, a12, a13, a22, a23, a33 = m
+        b00 = a00 * a00 + a01 * a01 + a02 * a02 + a03 * a03
+        b01 = a00 * a01 + a01 * a11 + a02 * a12 + a03 * a13
+        b02 = a00 * a02 + a01 * a12 + a02 * a22 + a03 * a23
+        b03 = a00 * a03 + a01 * a13 + a02 * a23 + a03 * a33
+        b11 = a01 * a01 + a11 * a11 + a12 * a12 + a13 * a13
+        b12 = a01 * a02 + a11 * a12 + a12 * a22 + a13 * a23
+        b13 = a01 * a03 + a11 * a13 + a12 * a23 + a13 * a33
+        b22 = a02 * a02 + a12 * a12 + a22 * a22 + a23 * a23
+        b23 = a02 * a03 + a12 * a13 + a22 * a23 + a23 * a33
+        b33 = a03 * a03 + a13 * a13 + a23 * a23 + a33 * a33
+        return (b00, b01, b02, b03, b11, b12, b13, b22, b23, b33)
+
+    m = (a00, a01, a02, a03, a11, a12, a13, a22, a23, a33)
+    for _ in range(3):
+        m = sym_square(m)
+        inv = 1.0 / jnp.maximum(frob(m), 1e-20)
+        m = tuple(x * inv for x in m)
+    a00, a01, a02, a03, a11, a12, a13, a22, a23, a33 = m
+
+    # Power iteration from TWO fixed start vectors, keeping the one with
+    # the larger Rayleigh quotient. A single fixed start can land nearly
+    # orthogonal to the dominant eigenvector (measured: worst-case 0.47
+    # rotation error on random weighted 3-point sets with one start); two
+    # spread starts make that jointly improbable, and in SoA form the
+    # second costs a handful of elementwise ops.
+    one = jnp.ones_like(a00)
+    starts = (
+        (one, 0.1 * one, 0.2 * one, 0.3 * one),
+        (0.2 * one, -0.7 * one, 0.6 * one, -0.4 * one),
     )
-    for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", A, v)
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
-    R = quat_to_rotmat(v)
-    t = cq - jnp.einsum("...ij,...j->...i", R, cp)
-    return rt_to_matrix(R, t)
+    cands = []
+    for v0, v1, v2, v3 in starts:
+        for _ in range(iters):
+            u0 = a00 * v0 + a01 * v1 + a02 * v2 + a03 * v3
+            u1 = a01 * v0 + a11 * v1 + a12 * v2 + a13 * v3
+            u2 = a02 * v0 + a12 * v1 + a22 * v2 + a23 * v3
+            u3 = a03 * v0 + a13 * v1 + a23 * v2 + a33 * v3
+            inv = jax.lax.rsqrt(
+                jnp.maximum(u0 * u0 + u1 * u1 + u2 * u2 + u3 * u3, 1e-40)
+            )
+            v0, v1, v2, v3 = u0 * inv, u1 * inv, u2 * inv, u3 * inv
+        # Rayleigh quotient of the (positive, squared) matrix.
+        u0 = a00 * v0 + a01 * v1 + a02 * v2 + a03 * v3
+        u1 = a01 * v0 + a11 * v1 + a12 * v2 + a13 * v3
+        u2 = a02 * v0 + a12 * v1 + a22 * v2 + a23 * v3
+        u3 = a03 * v0 + a13 * v1 + a23 * v2 + a33 * v3
+        lam = v0 * u0 + v1 * u1 + v2 * u2 + v3 * u3
+        cands.append((lam, v0, v1, v2, v3))
+    (l_a, *va), (l_b, *vb) = cands
+    pick = l_a >= l_b
+    v0, v1, v2, v3 = (jnp.where(pick, x, y) for x, y in zip(va, vb))
+
+    # Rotation matrix from the (w, x, y, z) quaternion, componentwise.
+    ww, xx, yy, zz = v0 * v0, v1 * v1, v2 * v2, v3 * v3
+    wx, wy, wz = v0 * v1, v0 * v2, v0 * v3
+    xy, xz, yz = v1 * v2, v1 * v3, v2 * v3
+    r00 = ww + xx - yy - zz
+    r01 = 2.0 * (xy - wz)
+    r02 = 2.0 * (xz + wy)
+    r10 = 2.0 * (xy + wz)
+    r11 = ww - xx + yy - zz
+    r12 = 2.0 * (yz - wx)
+    r20 = 2.0 * (xz - wy)
+    r21 = 2.0 * (yz + wx)
+    r22 = ww - xx - yy + zz
+
+    tx = cqx - (r00 * cpx + r01 * cpy + r02 * cpz)
+    ty = cqy - (r10 * cpx + r11 * cpy + r12 * cpz)
+    tz = cqz - (r20 * cpx + r21 * cpy + r22 * cpz)
+
+    # One relayout at the very end: components → (..., 4, 4).
+    zero = jnp.zeros_like(tx)
+    rows = [
+        jnp.stack([r00, r01, r02, tx], axis=-1),
+        jnp.stack([r10, r11, r12, ty], axis=-1),
+        jnp.stack([r20, r21, r22, tz], axis=-1),
+        jnp.stack([zero, zero, zero, jnp.ones_like(tx)], axis=-1),
+    ]
+    return jnp.stack(rows, axis=-2)
