@@ -171,9 +171,18 @@ def horn_quaternion(
         )
         return jnp.sqrt(s)
 
-    # Shift by the Frobenius norm so the largest eigenvalue dominates in
-    # magnitude, then square 3 times (each squaring doubles eigen-contrast).
-    sh = frob((a00, a01, a02, a03, a11, a12, a13, a22, a23, a33)) + 1e-9
+    # Scale-normalize the N matrix first: the optimal quaternion is invariant
+    # to positive scaling of H, and unnormalized entries grow like coord², so
+    # the squaring cascade below would overflow f32 (inf * 0 → NaN) for
+    # points beyond ~1e2 — e.g. the RANSAC engine's far-away pad sentinels.
+    nf = 1.0 / (frob((a00, a01, a02, a03, a11, a12, a13, a22, a23, a33)) + 1e-30)
+    a00, a01, a02, a03 = a00 * nf, a01 * nf, a02 * nf, a03 * nf
+    a11, a12, a13 = a11 * nf, a12 * nf, a13 * nf
+    a22, a23, a33 = a22 * nf, a23 * nf, a33 * nf
+
+    # Shift by the Frobenius norm (=1 now) so the largest eigenvalue dominates
+    # in magnitude, then square 3 times (each squaring doubles eigen-contrast).
+    sh = jnp.ones_like(a00)
     a00, a11, a22, a33 = a00 + sh, a11 + sh, a22 + sh, a33 + sh
 
     def sym_square(m):

@@ -138,6 +138,29 @@ class TestAbsoluteOrientation:
             np.asarray(horn_quaternion(p, q)), np.asarray(kabsch(p, q)), atol=1e-3
         )
 
+    def test_horn_finite_on_huge_coordinates(self):
+        # Regression: minimal sets mixing scene-scale points with far-away
+        # pad sentinels (|x| ~ 1e4, N-matrix ~ coord²) overflowed the
+        # squaring cascade to inf*0=NaN before the frob pre-normalization.
+        rng = np.random.default_rng(11)
+        T = _pose_batch(12, 32)
+        # Uniformly huge sets: must stay accurate (rotation is H-scale
+        # invariant; translation error scales with the point magnitude).
+        p_huge = jnp.asarray(rng.normal(size=(32, 3, 3)) * 3e4, jnp.float32)
+        q_huge = se3_apply(T, p_huge)
+        out = horn_quaternion(p_huge, q_huge)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(
+            np.asarray(out[:, :3, :3]), np.asarray(T[:, :3, :3]), atol=1e-2
+        )
+        # Mixed-scale sets (two scene points + one pad-scale point) are
+        # ill-conditioned in f32 — accuracy is not promised, finiteness is:
+        # the engine's scoring rejects these hypotheses, it must not see NaN.
+        p_mix = jnp.asarray(rng.normal(size=(32, 3, 3)), jnp.float32)
+        p_mix = p_mix.at[:, 2].mul(3e4)
+        out = horn_quaternion(p_mix, se3_apply(T, p_mix))
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_noise_robustness(self):
         T = _pose_batch(11, 16)
         rng = np.random.default_rng(12)
