@@ -255,6 +255,160 @@ def block_ba_problem(
     return blocked, layout, stats
 
 
+def block_ba_problem_device(
+    mesh,
+    prob: BAProblem,
+    pad_obs_to_multiple: int = 8,
+    refine_passes: int = 4,
+    obs_cap_override: int = 0,
+):
+    """Device-side blocked relayout: the PRODUCTION phase-boundary switch.
+
+    Same resulting layout contract as :func:`block_ba_problem` (landmarks
+    block-permuted, observations bucketed per shard with shard-local
+    landmark indices), but built the SURVEY.md §2.2 Ulysses way:
+
+    - the host computes only an **index-only** view — clustering from
+      (cam_idx, lm_idx, w), the landmark permutation, and the per-shard
+      destination of every observation;
+    - the full observation **payload** (obs, w, obs_z, indices) moves
+      between the frame-ordered and landmark-blocked shardings entirely
+      on-device via ``parallel.sharded.reshard_obs_to_blocks`` — ONE
+      ``jax.lax.all_to_all`` over the mesh, never a host permutation
+      (round-2 verdict item 4).
+
+    The per-(src, dst) bucket capacity is computed exactly from the host
+    index view (so ``dropped == 0`` in normal operation) and padded to
+    ``pad_obs_to_multiple``; ``obs_cap_override`` (TEST ONLY) forces a
+    smaller capacity to exercise the overflow-accounting path.
+
+    Returns ``(blocked_problem, BlockedLayout, stats, dropped)`` where
+    ``dropped`` is the global count of observations lost to overflow —
+    callers must surface it (metrics ``reshard_dropped``).
+    """
+    from rgbd_pose_estimation_tpu.parallel.mesh import put_global
+    from rgbd_pose_estimation_tpu.parallel.sharded import reshard_obs_to_blocks
+    from rgbd_pose_estimation_tpu.parallel.specs import SpecLayout
+
+    cam_idx = np.asarray(prob.cam_idx)
+    lm_idx = np.asarray(prob.lm_idx)
+    w = np.asarray(prob.w)
+    points = np.asarray(prob.points)
+    L, O, C = points.shape[0], cam_idx.shape[0], int(prob.poses.shape[0])
+    n = mesh.size
+
+    block, stats = cluster_landmarks(
+        cam_idx, lm_idx, w, L, C, n, refine_passes=refine_passes
+    )
+
+    # Landmark permutation (identical to block_ba_problem).
+    lm_order = np.lexsort((np.arange(L), block))
+    per_block = np.bincount(block, minlength=n)
+    Lb = int(per_block.max())
+    lm_perm = np.full(n * Lb, -1, np.int64)
+    local_of_lm = np.empty(L, np.int64)
+    start = 0
+    for b in range(n):
+        sel = lm_order[start : start + per_block[b]]
+        lm_perm[b * Lb : b * Lb + per_block[b]] = sel
+        local_of_lm[sel] = np.arange(per_block[b])
+        start += per_block[b]
+    pts_blocked = np.zeros((n * Lb, 3), points.dtype)
+    real = lm_perm >= 0
+    pts_blocked[real] = points[lm_perm[real]]
+
+    # Source layout: frame-ordered = the natural contiguous axis-0 split.
+    # Pad to a multiple of n with w=0 rows, destinations round-robin so no
+    # single shard's buckets absorb all padding.
+    O_pad = O + ((-O) % n)
+    npad = O_pad - O
+    dest = np.empty(O_pad, np.int32)
+    dest[:O] = block[lm_idx]
+    dest[O:] = np.arange(npad) % n
+
+    def _pad(x, fill, dtype=None):
+        out = np.full((O_pad,) + x.shape[1:], fill, dtype or x.dtype)
+        out[:O] = x
+        return out
+
+    # Exact per-(src, dst) counts → capacity (index-only host work).
+    per_src = O_pad // n
+    src = np.arange(O_pad) // per_src
+    cnt = np.zeros((n, n), np.int64)
+    np.add.at(cnt, (src, dest), 1)
+    cap = int(cnt.max())
+    cap += (-cap) % pad_obs_to_multiple
+    if obs_cap_override:
+        cap = obs_cap_override
+
+    sl = SpecLayout.for_mesh(mesh)
+    ospec = sl.observations()
+    fields = {
+        "cam_idx": _pad(cam_idx.astype(np.int32), 0),
+        "lm_idx": _pad(local_of_lm[lm_idx].astype(np.int32), 0),
+        "obs": _pad(np.asarray(prob.obs), 0.0),
+        "w": _pad(w, 0.0),
+    }
+    if prob.obs_z is not None:
+        fields["obs_z"] = _pad(np.asarray(prob.obs_z), 0.0)
+    fields = {k: put_global(mesh, ospec, v) for k, v in fields.items()}
+    out, dropped = reshard_obs_to_blocks(
+        mesh, fields, put_global(mesh, ospec, dest), cap
+    )
+    w_dev = jnp.where(out["valid"], out["w"], 0.0)
+
+    # Host-side replay of the device slot assignment (index-only): obs o of
+    # source s with stable rank r toward shard d lands at global slot
+    # d·(n·cap) + s·cap + r, dropped if r ≥ cap. Gives the same obs_perm
+    # contract block_ba_problem provides (and the overflow oracle).
+    obs_perm = np.full(n * n * cap, -1, np.int64)
+    rank = np.empty(O_pad, np.int64)
+    for s in range(n):
+        order = np.argsort(dest[s * per_src:(s + 1) * per_src], kind="stable")
+        d_sorted = dest[s * per_src:(s + 1) * per_src][order]
+        starts = np.searchsorted(d_sorted, np.arange(n), side="left")
+        r = np.arange(per_src) - starts[d_sorted]
+        rank[np.arange(s * per_src, (s + 1) * per_src)[order]] = r
+    ok = rank < cap
+    slots = dest.astype(np.int64) * (n * cap) + src * cap + rank
+    orig = np.arange(O_pad)
+    keep = ok & (orig < O)
+    obs_perm[slots[keep]] = orig[keep]
+    # Device `dropped` counts every overflowing row (pads included).
+    dropped_host = int((~ok).sum())
+
+    blocked = BAProblem(
+        poses=prob.poses,
+        points=jnp.asarray(pts_blocked),
+        cam_idx=out["cam_idx"],
+        lm_idx=out["lm_idx"],
+        obs=out["obs"],
+        w=w_dev,
+        obs_z=out.get("obs_z"),
+        prior_i=prob.prior_i,
+        prior_j=prob.prior_j,
+        prior_T_inv=prob.prior_T_inv,
+        prior_w=prob.prior_w,
+    )
+    layout = BlockedLayout(
+        lm_perm=lm_perm,
+        obs_perm=obs_perm,
+        n_shards=n,
+        block_size=Lb,
+        obs_cap=n * cap,
+        num_landmarks=L,
+        num_observations=O,
+    )
+    stats.update({
+        "block_size": Lb,
+        "obs_cap": n * cap,
+        "lm_pad_frac": 1.0 - L / (n * Lb),
+        "obs_pad_frac": 1.0 - O / (n * n * cap),
+        "reshard_dropped_host": dropped_host,
+    })
+    return blocked, layout, stats, dropped
+
+
 def unblock_points(points_blocked, layout: BlockedLayout) -> np.ndarray:
     """Invert the landmark permutation of :func:`block_ba_problem`."""
     pts = np.asarray(points_blocked)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics, pixel_grid
 from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp, matrix_to_rt
@@ -51,7 +52,10 @@ def synthetic_correspondences(
 
 # Scene constants chosen so TUM-like cameras (z forward) see everything.
 _PLANE_Z = 3.0
-_SPHERES = jnp.array(
+# Plain numpy at module scope: a jnp.array here would initialize the XLA
+# backend at IMPORT time, which breaks jax.distributed.initialize() in any
+# CLI that merely imports this module. Converted to jnp at first use.
+_SPHERES_NP = np.array(
     [
         # cx, cy, cz, r
         [0.0, 0.0, 2.2, 0.5],
@@ -60,7 +64,7 @@ _SPHERES = jnp.array(
         [0.3, 0.6, 1.5, 0.25],
         [-0.5, -0.6, 2.8, 0.35],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
@@ -81,11 +85,12 @@ def _raycast(origins: jnp.ndarray, dirs: jnp.ndarray):
     s_plane = jnp.where((s_plane > 0.1) & (jnp.abs(dz) > 1e-9), s_plane, big)
 
     # Spheres: ||o + s d - c||^2 = r^2.
-    oc = origins[..., None, :] - _SPHERES[:, :3]  # (..., S, 3)
+    spheres = jnp.asarray(_SPHERES_NP)
+    oc = origins[..., None, :] - spheres[:, :3]  # (..., S, 3)
     d = dirs[..., None, :]
     a = jnp.sum(d * d, axis=-1)
     b = 2.0 * jnp.sum(oc * d, axis=-1)
-    c = jnp.sum(oc * oc, axis=-1) - _SPHERES[:, 3] ** 2
+    c = jnp.sum(oc * oc, axis=-1) - spheres[:, 3] ** 2
     disc = b * b - 4.0 * a * c
     ok = disc > 0
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
-from rgbd_pose_estimation_tpu.ba.cluster import block_ba_problem, unblock_points
+from rgbd_pose_estimation_tpu.ba.cluster import block_ba_problem_device
 from rgbd_pose_estimation_tpu.ba.schur import (
     prune_observations,
     with_odometry_priors,
@@ -105,20 +105,26 @@ def distributed_slam(
     metrics = metrics or MetricsLogger()
     n = len(depths)
 
-    # (1) sequence-parallel odometry.
-    traj = sequence_parallel_odometry(
+    # (1) sequence-parallel odometry, returning each chunk's own
+    # overlap/interval-driven keyframe choices — the SAME policy the
+    # single-host ``Slam``/``DenseOdometry`` twin applies, so config-4 and
+    # config-5 backends see comparable keyframe sets (round-2 verdict
+    # item 6). ``kf_stride`` remains as an explicit override.
+    traj, kf_auto = sequence_parallel_odometry(
         cam, depths, n_chunks=n_chunks, overlap=overlap,
         icp_cfg=cfg.icp, kf_cfg=cfg.keyframe, pg_cfg=cfg.pose_graph,
+        return_keyframes=True,
     )
     metrics.log(stage="odometry", frames=n, chunks=n_chunks)
 
-    # Keyframes: fixed stride (the sequence-parallel front-end has no
-    # global keyframe policy; a stride bounds the backend size the same
-    # way the overlap-drop policy does for the streaming front-end).
-    stride = kf_stride or max(1, cfg.keyframe.max_interval // 2)
-    kf_idx = list(range(0, n, stride))
+    if kf_stride is not None:
+        kf_idx = list(range(0, n, kf_stride))
+    else:
+        kf_idx = list(kf_auto)
     if kf_idx[-1] != n - 1:
         kf_idx.append(n - 1)
+    metrics.log(stage="keyframes", count=len(kf_idx),
+                policy="stride" if kf_stride is not None else "odometry")
     kfs = []
     for i in kf_idx:
         frame = make_icp_frame(cam, jnp.asarray(depths[i]), cfg.icp)
@@ -198,11 +204,23 @@ def distributed_slam(
             edges = [(a, a + 1) for a in range(len(kf_idx) - 1)]
             edges += [(a, b) for a, b, _, _ in loop_edges]
             prob = with_odometry_priors(prob, cfg.ba.prior_weight, edges)
-        blocked, layout, cstats = block_ba_problem(prob, mesh.size)
+        # Phase-boundary relayout: the observation payload moves from the
+        # frame-ordered to the landmark-blocked sharding ON DEVICE via one
+        # all_to_all (SURVEY.md §2.2 Ulysses row); overflow is counted by
+        # the kernel and must be zero here (cap computed exactly).
+        blocked, layout, cstats, dropped = block_ba_problem_device(
+            mesh, prob
+        )
+        dropped = int(dropped)
+        if dropped:
+            raise RuntimeError(
+                f"reshard_obs_to_blocks dropped {dropped} observations — "
+                "per-(src,dst) capacity underestimated"
+            )
         out, costs = ba_solve_blocked(mesh, blocked, cfg.ba)
         kf_poses = np.asarray(out.poses)
         metrics.log(
-            stage="ba", layout="blocked",
+            stage="ba", layout="blocked", reshard_dropped=dropped,
             cost_first=float(costs[0]), cost_last=float(costs[-1]),
             **{k: cstats[k] for k in ("span_cut_after", "obs_imbalance")},
         )

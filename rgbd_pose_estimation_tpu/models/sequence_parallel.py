@@ -51,7 +51,11 @@ def _run_chunk(cam, icp_cfg, kf_cfg, frames):
     odo = DenseOdometry(cam, icp_cfg, kf_cfg)
     for depth in frames:
         odo.process(depth)
-    return odo.trajectory()  # local: first frame is identity
+    # Local trajectory (first frame = identity) + the overlap/interval-
+    # driven keyframe indices the tracker itself chose — downstream stages
+    # consume these instead of re-inventing a stride policy (round-2
+    # verdict item 6).
+    return odo.trajectory(), [k.index for k in odo.keyframes]
 
 
 def sequence_parallel_odometry(
@@ -64,12 +68,17 @@ def sequence_parallel_odometry(
     pg_cfg: PoseGraphConfig = PoseGraphConfig(),
     chunk_runner: Callable = None,
     parallel: bool = True,
+    return_keyframes: bool = False,
 ):
     """Estimate the full trajectory with chunk-parallel odometry.
 
-    ``chunk_runner(frames) -> local_poses`` defaults to dense ICP odometry;
-    inject a different tracker for testing. Returns ``(F, 4, 4)`` poses
-    (world→camera, first frame = identity).
+    ``chunk_runner(frames) -> local_poses`` (or ``(local_poses,
+    kf_indices)``) defaults to dense ICP odometry; inject a different
+    tracker for testing. Returns ``(F, 4, 4)`` poses (world→camera, first
+    frame = identity); with ``return_keyframes=True`` also the sorted
+    global frame indices of the keyframes each chunk's tracker chose
+    (overlap-frame duplicates dropped) — the unified keyframe policy
+    shared with ``DenseOdometry``/``Slam``.
     """
     n = len(depths)
     ranges = chunk_ranges(n, n_chunks, overlap)
@@ -79,13 +88,36 @@ def sequence_parallel_odometry(
 
     if parallel and len(ranges) > 1:
         with concurrent.futures.ThreadPoolExecutor(len(ranges)) as ex:
-            locals_ = list(ex.map(lambda r: runner([depths[i] for i in range(*r)]), ranges))
+            results = list(ex.map(lambda r: runner([depths[i] for i in range(*r)]), ranges))
     else:
-        locals_ = [runner([depths[i] for i in range(*r)]) for r in ranges]
+        results = [runner([depths[i] for i in range(*r)]) for r in ranges]
+
+    # Custom runners may return poses only.
+    locals_, kfs_ = zip(*(
+        res if isinstance(res, tuple) else (res, None) for res in results
+    ))
 
     C = len(ranges)
+
+    def _keyframes(out):
+        kf_global = set()
+        for c, (s, e) in enumerate(ranges):
+            stop = ranges[c + 1][0] if c + 1 < C else n
+            if kfs_[c] is None:
+                raise ValueError(
+                    "return_keyframes=True needs chunk_runner to return "
+                    "(poses, keyframe_indices)"
+                )
+            for k in kfs_[c]:
+                f = s + k
+                # Each frame's pose is emitted by exactly one chunk; its
+                # keyframe decision comes from the same chunk.
+                if s <= f < stop:
+                    kf_global.add(f)
+        return out, sorted(kf_global)
+
     if C == 1:
-        return locals_[0]
+        return _keyframes(locals_[0]) if return_keyframes else locals_[0]
 
     # Anchor pose graph: node c = global pose of chunk c's first frame.
     edges_i, edges_j, T_meas, weights = [], [], [], []
@@ -126,4 +158,4 @@ def sequence_parallel_odometry(
         stop = ranges[c + 1][0] if c + 1 < C else n
         for f in range(s, stop):
             out[f] = locals_[c][f - s] @ anchors[c]
-    return out
+    return _keyframes(out) if return_keyframes else out

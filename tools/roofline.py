@@ -195,7 +195,109 @@ def audit_msac(K: int = 4096, N: int = 2048):
     }
 
 
-def audit_jtj(S: int = 2432, impl: str = "vpu"):
+def audit_ransac_estimate(K: int = 32768, N: int = 2048):
+    """Anatomy of the FULL 3d3d RANSAC estimate (round-2 verdict item 3).
+
+    Breaks the in-program ms/estimate into its pipeline stages, each
+    scan-chained separately: PROSAC sampling, the (K, 3, 3) minimal-set
+    gathers, the Horn hypothesis batch, MSAC scoring, argmin+winner
+    extraction, and the inlier refit rounds. Slices are measured
+    independently (each with its own chained dependence), so they need not
+    sum exactly to the full estimate — overlap/fusion differences are the
+    residual column.
+    """
+    from rgbd_pose_estimation_tpu.ransac import engine
+    from rgbd_pose_estimation_tpu.ransac.prosac import sample_minimal_sets
+    from rgbd_pose_estimation_tpu.solvers import horn_quaternion, kabsch
+    from rgbd_pose_estimation_tpu.ops.ransac_score import score_poses_3d3d
+    from rgbd_pose_estimation_tpu.utils.config import RansacConfig
+
+    cfg = RansacConfig(num_hypotheses=K, threshold=0.05)
+    kp = jax.random.key(1)
+    p = jax.random.normal(jax.random.key(2), (N, 3))
+    q = jax.random.normal(jax.random.key(3), (N, 3))
+
+    # -- full estimate (chained through p) --
+    def s_full(pp):
+        res = engine.estimate_pose_3d3d(kp, pp, q, cfg)
+        return pp + 1e-30 * res.pose[:3, 0]
+
+    t_full = timeit_scan(s_full, p)
+
+    # -- sampling --
+    @jax.jit
+    def s_sample(k):
+        idx = sample_minimal_sets(k, N, K, cfg.sample_size, cfg.prosac)
+        return jax.random.fold_in(k, idx[0, 0])
+
+    t_sample = timeit_scan(s_sample, kp)
+
+    # -- minimal-set gathers --
+    idx0 = sample_minimal_sets(kp, N, K, cfg.sample_size, cfg.prosac)
+
+    @jax.jit
+    def s_gather(idx):
+        pm = jnp.take(p, idx, axis=0)
+        qm = jnp.take(q, idx, axis=0)
+        return idx + (1e30 * (pm[0, 0, 0] + qm[0, 0, 0])).astype(jnp.int32) * 0
+
+    t_gather = timeit_scan(s_gather, idx0)
+
+    # -- Horn hypothesis batch --
+    pm0 = jnp.take(p, idx0, axis=0)
+    qm0 = jnp.take(q, idx0, axis=0)
+
+    @jax.jit
+    def s_solve(pm):
+        T = horn_quaternion(pm, qm0)
+        return pm + 1e-30 * T[:, :3, 3][:, None, :]
+
+    t_solve = timeit_scan(s_solve, pm0)
+
+    # -- MSAC scoring kernel --
+    T0 = horn_quaternion(pm0, qm0)
+
+    @jax.jit
+    def s_score(T):
+        msac, cnt = score_poses_3d3d(T, p, q, cfg.threshold)
+        return T + 1e-30 * msac[:, None, None]
+
+    t_score = timeit_scan(s_score, T0)
+
+    # -- argmin + winner extraction --
+    msac0, _ = score_poses_3d3d(T0, p, q, cfg.threshold)
+
+    @jax.jit
+    def s_argmin(m):
+        b = jnp.argmin(jnp.where(jnp.isnan(m), jnp.inf, m))
+        return m + 1e-30 * T0[b, 0, 0]
+
+    t_argmin = timeit_scan(s_argmin, msac0)
+
+    # -- refit rounds (weighted Kabsch on all N, cfg.refit_rounds x) --
+    @jax.jit
+    def s_refit(T_cur):
+        def one(Tc, _):
+            e = jnp.sum((q - (p @ Tc[:3, :3].T + Tc[:3, 3])) ** 2, axis=-1)
+            w = (e < cfg.threshold**2).astype(p.dtype)
+            enough = jnp.sum(w) >= 3
+            T_new = kabsch(p, q, weights=jnp.where(enough, w, jnp.ones_like(w)))
+            return jnp.where(enough, T_new, Tc), None
+
+        T2, _ = jax.lax.scan(one, T_cur, None, length=cfg.refit_rounds)
+        return T2
+
+    t_refit = timeit_scan(s_refit, jnp.eye(4))
+
+    stages = {
+        "sample": t_sample,
+        "gather": t_gather,
+        "horn_solve": t_solve,
+        "score": t_score,
+        "argmin": t_argmin,
+        "refit": t_refit,
+    }
+    return {"K": K, "N": N, "full": t_full, "stages": stages}
     """ICP JtJ kernel per-call time via a data-chained scan.
 
     S=2432 == 640x480 padded to the 64-sublane tile — the production
@@ -401,6 +503,20 @@ def main():
         f"\n- full 3-level (5,7,10) 640x480 track, in-program: "
         f"{tr['track_s']*1e3:.2f} ms ({1/tr['track_s']:.0f} tracks/s)"
     )
+
+    for K in (4096, 32768):
+        ra = audit_ransac_estimate(K=K)
+        print(
+            f"\n## RANSAC 3d3d estimate anatomy (K={ra['K']}, N={ra['N']}, "
+            "in-program)\n"
+        )
+        print("| stage | time | share of full |")
+        print("|---|---|---|")
+        for name, s in ra["stages"].items():
+            print(f"| {name} | {s*1e6:.0f} us | {s/ra['full']*100:.0f}% |")
+        ssum = sum(ra["stages"].values())
+        print(f"| Σ stages | {ssum*1e6:.0f} us | {ssum/ra['full']*100:.0f}% |")
+        print(f"| FULL estimate | {ra['full']*1e6:.0f} us | 100% |")
 
 
 if __name__ == "__main__":
