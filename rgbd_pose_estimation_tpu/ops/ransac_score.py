@@ -115,16 +115,133 @@ def score_poses_3d3d(
     return msac[:, 0], count[:, 0]
 
 
-def score_poses_3d3d_reference(T, p, q, threshold: float):
-    """jnp twin of :func:`score_poses_3d3d` (oracle + non-TPU fallback)."""
+def score_poses_3d3d_reference(T, p, q, threshold: float, precision=None):
+    """jnp twin of :func:`score_poses_3d3d` (oracle + non-TPU fallback).
+
+    NOTE: on TPU the einsum lowers to a DEFAULT-precision (bf16) MXU
+    matmul — measured up to ~2% score error vs the f32 Pallas kernel.
+    Pass ``precision=jax.lax.Precision.HIGHEST`` when this function is the
+    oracle on TPU (CPU einsum is true f32 already).
+    """
     R = T[:, :3, :3]
     t = T[:, :3, 3]
-    pred = jnp.einsum("kij,nj->kni", R, p) + t[:, None, :]
+    pred = jnp.einsum("kij,nj->kni", R, p, precision=precision) + t[:, None, :]
     e = jnp.sum((pred - q[None]) ** 2, axis=-1)  # (K, N)
     tau2 = threshold * threshold
     msac = jnp.sum(jnp.minimum(e, tau2), axis=-1)
     count = jnp.sum((e < tau2).astype(jnp.float32), axis=-1)
     return msac, count
+
+
+# --------------------------------------------------------------------------
+# MXU fast path: MSAC via ONE (K,17)x(17,N) matmul (quadratic expansion)
+# --------------------------------------------------------------------------
+
+
+def _quad_features(T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray):
+    """Factor the squared 3D-3D residual into a 17-dim bilinear form.
+
+    For orthonormal R (|R p| = |p|):
+
+        e(k,n) = |R_k p_n + t_k - q_n|^2
+               = |p_n|^2 + |q_n|^2 + |t_k|^2
+                 + 2 t_k·(R_k p_n) - 2 (R_k p_n)·q_n - 2 t_k·q_n
+               = feat(k) · pn(n)
+
+    with feat(k) = [vec(R_k), 2 R_kᵀt_k, -2 t_k, |t_k|^2, 1]  (K, 17) and
+    pn(n) = [-2 q_n⊗p_n, p_n, q_n, 1, |p_n|^2+|q_n|^2]        (17, N).
+
+    The full (K, N) residual matrix then rides the MXU as a single matmul
+    instead of a ~19-op/element VPU chain — measured ~5x faster than the
+    Pallas VPU kernel at the bench shape (BASELINE.md round-3 table).
+    """
+    K, N = T.shape[0], p.shape[0]
+    R = T[:, :3, :3]
+    t = T[:, :3, 3]
+    feat = jnp.concatenate(
+        [
+            R.reshape(K, 9),
+            2.0 * jnp.einsum("kij,ki->kj", R, t),
+            -2.0 * t,
+            jnp.sum(t * t, axis=-1, keepdims=True),
+            jnp.ones((K, 1), T.dtype),
+        ],
+        axis=-1,
+    )
+    qp = -2.0 * (q[:, :, None] * p[:, None, :]).reshape(N, 9)
+    pn = jnp.concatenate(
+        [
+            qp.T,
+            p.T,
+            q.T,
+            jnp.ones((1, N), p.dtype),
+            (jnp.sum(p * p, -1) + jnp.sum(q * q, -1))[None, :],
+        ],
+        axis=0,
+    )
+    return feat, pn
+
+
+def score_poses_3d3d_quad(T, p, q, threshold: float, precision=None):
+    """Fast MSAC scores for ORTHONORMAL poses via the MXU quad form.
+
+    Returns the ``(K,)`` MSAC vector only (no inlier counts). With the
+    default (1-pass bf16) matmul precision the scores carry ~1e-2 relative
+    error (measured, tools/msac_opt.py) — ample for candidate RANKING but
+    not for exact parity; :func:`best_pose_3d3d` re-scores the top
+    candidates exactly before the final argmin. Conditioning: expansion
+    error grows as coord_scale^2 x bf16_eps, so keep |p|,|q| under ~10
+    scene units (TUM scenes are) or pass ``precision=HIGH``.
+    """
+    feat, pn = _quad_features(T, p, q)
+    e = jnp.dot(feat, pn, preferred_element_type=jnp.float32, precision=precision)
+    tau2 = threshold * threshold
+    return jnp.sum(jnp.minimum(e, tau2), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "top", "impl"))
+def best_pose_3d3d(
+    T: jnp.ndarray,
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    threshold: float,
+    top: int = 16,
+    impl: str = "auto",
+):
+    """Select the best of K poses: fast ranking pass + exact finalist pass.
+
+    Two-stage design (BASELINE.md round-3 estimator anatomy): all K
+    hypotheses are ranked by :func:`score_poses_3d3d_quad` on the MXU
+    (~5x the VPU kernel's speed), then the ``top`` finalists are re-scored
+    by the exact jnp twin (``top``xN is negligible) and the final argmin is
+    taken over exact scores. The true winner is recovered whenever it
+    ranks inside the top-``top`` under ~1e-2-relative fast scores; if more
+    than ``top`` hypotheses tie within that band they are interchangeable
+    for the refit that follows (the engine re-derives inliers from the
+    winner exactly).
+
+    NaN scores (degenerate minimal sets) rank last in both passes.
+    Returns ``(best_index, best_exact_msac)``. ``impl="exact"`` (and any
+    non-TPU backend) bypasses the fast pass entirely.
+    """
+    K = T.shape[0]
+    top = min(top, K)
+    if impl == "exact" or (impl == "auto" and jax.default_backend() != "tpu"):
+        msac, _ = score_poses_3d3d(T, p, q, threshold, impl="auto")
+        msac = jnp.where(jnp.isnan(msac), jnp.inf, msac)
+        best = jnp.argmin(msac)
+        return best, msac[best]
+    fast = score_poses_3d3d_quad(T, p, q, threshold)
+    fast = jnp.where(jnp.isnan(fast), jnp.inf, fast)
+    _, cand = jax.lax.top_k(-fast, top)  # (top,) indices of smallest scores
+    # Finalists re-scored in true f32 (HIGHEST keeps the einsum off the
+    # bf16 MXU path; at top x N size the cost is negligible).
+    exact, _ = score_poses_3d3d_reference(
+        T[cand], p, q, threshold, precision=jax.lax.Precision.HIGHEST
+    )
+    exact = jnp.where(jnp.isnan(exact), jnp.inf, exact)
+    j = jnp.argmin(exact)
+    return cand[j], exact[j]
 
 
 # --------------------------------------------------------------------------

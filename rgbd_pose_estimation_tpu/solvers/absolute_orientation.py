@@ -150,6 +150,56 @@ def horn_quaternion(
     syx, syy, syz = hsum(pcy, qcx), hsum(pcy, qcy), hsum(pcy, qcz)
     szx, szy, szz = hsum(pcz, qcx), hsum(pcz, qcy), hsum(pcz, qcz)
 
+    return _horn_from_components(
+        (cpx, cpy, cpz),
+        (cqx, cqy, cqz),
+        (sxx, sxy, sxz, syx, syy, syz, szx, szy, szz),
+        iters,
+    )
+
+
+def horn_from_moments(mom: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Horn solve directly from per-sample moment sums (no point arrays).
+
+    ``mom`` is the ``(16, K)`` output of ``ops.moments.minimal_moments``:
+    rows 0-2 Σp, 3-5 Σq, 6-14 Σ p qᵀ (row-major), 15 the count. The
+    centered cross-covariance follows from the moments alone:
+
+        H_ab = Σ p_a q_b − (Σ p_a)(Σ q_b) / n
+
+    which feeds the same component-of-arrays eigen path as
+    :func:`horn_quaternion`. This is the RANSAC engine's gather-free
+    hypothesis path (ops/moments.py).
+    """
+    n = jnp.maximum(mom[15], 1e-12)
+    inv = 1.0 / n
+    cpx, cpy, cpz = mom[0] * inv, mom[1] * inv, mom[2] * inv
+    cqx, cqy, cqz = mom[3] * inv, mom[4] * inv, mom[5] * inv
+    sxx = mom[6] - mom[0] * mom[3] * inv
+    sxy = mom[7] - mom[0] * mom[4] * inv
+    sxz = mom[8] - mom[0] * mom[5] * inv
+    syx = mom[9] - mom[1] * mom[3] * inv
+    syy = mom[10] - mom[1] * mom[4] * inv
+    syz = mom[11] - mom[1] * mom[5] * inv
+    szx = mom[12] - mom[2] * mom[3] * inv
+    szy = mom[13] - mom[2] * mom[4] * inv
+    szz = mom[14] - mom[2] * mom[5] * inv
+    return _horn_from_components(
+        (cpx, cpy, cpz),
+        (cqx, cqy, cqz),
+        (sxx, sxy, sxz, syx, syy, syz, szx, szy, szz),
+        iters,
+    )
+
+
+def _horn_from_components(cp, cq, cov, iters: int):
+    """Shared Horn eigen path from centroids + centered covariance
+    components (all ``batch``-shaped SoA arrays — see layout note in
+    :func:`horn_quaternion`)."""
+    cpx, cpy, cpz = cp
+    cqx, cqy, cqz = cq
+    sxx, sxy, sxz, syx, syy, syz, szx, szy, szz = cov
+
     # Horn's symmetric 4x4 N matrix, 10 unique components.
     a00 = sxx + syy + szz
     a01 = syz - szy

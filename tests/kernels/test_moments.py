@@ -1,0 +1,84 @@
+"""Parity tests for the gather-free minimal-set moments kernel
+(SURVEY.md §4.4: every Pallas kernel ships with a jnp twin oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp
+from rgbd_pose_estimation_tpu.ops.moments import (
+    minimal_moments,
+    minimal_moments_reference,
+)
+from rgbd_pose_estimation_tpu.solvers.absolute_orientation import (
+    horn_from_moments,
+    horn_quaternion,
+)
+
+
+class TestMinimalMoments:
+    @pytest.mark.parametrize("k,n,m", [(256, 128, 3), (512, 384, 4)])
+    def test_kernel_matches_reference(self, k, n, m):
+        rng = np.random.default_rng(0)
+        p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        idx = jnp.asarray(
+            np.stack([rng.choice(n, size=m, replace=False) for _ in range(k)]),
+            jnp.int32,
+        )
+        ref = minimal_moments_reference(idx, p, q)
+        out = minimal_moments(idx, p, q, impl="interpret")
+        # hi/lo bf16 split carries ~2^-17 relative error by design.
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=3e-5, atol=3e-5
+        )
+
+    def test_count_row(self):
+        rng = np.random.default_rng(1)
+        p = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        idx = jnp.asarray(
+            np.stack([rng.choice(128, size=3, replace=False) for _ in range(256)]),
+            jnp.int32,
+        )
+        out = minimal_moments(idx, p, q, impl="interpret")
+        np.testing.assert_allclose(np.asarray(out[15]), 3.0)
+
+    def test_horn_from_moments_recovers_pose(self):
+        """End-to-end hypothesize parity: moments -> Horn == gather -> Horn."""
+        rng = np.random.default_rng(2)
+        n, k = 256, 512
+        p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        T_true = se3_exp(jnp.asarray([0.2, -0.1, 0.3, 0.1, -0.2, 0.15]))
+        q = se3_apply(T_true[None], p[None])[0]
+        idx = jnp.asarray(
+            np.stack([rng.choice(n, size=3, replace=False) for _ in range(k)]),
+            jnp.int32,
+        )
+        mom = minimal_moments(idx, p, q, impl="reference")
+        T_mom = horn_from_moments(mom)
+        T_gat = horn_quaternion(jnp.take(p, idx, axis=0), jnp.take(q, idx, axis=0))
+        # Both must recover the true pose on noise-free correspondences.
+        err_mom = float(jnp.max(jnp.abs(T_mom - T_true[None])))
+        err_gat = float(jnp.max(jnp.abs(T_gat - T_true[None])))
+        assert err_mom < 5e-4, (err_mom, err_gat)
+        np.testing.assert_allclose(
+            np.asarray(T_mom), np.asarray(T_gat), atol=5e-4
+        )
+
+    def test_hi_lo_split_precision_on_scene_scale(self):
+        """The bf16 hi/lo split must hold moment error ~1e-5 relative on
+        scene-scale (±10 unit) coordinates (interpret path exercises the
+        exact kernel arithmetic, split included)."""
+        rng = np.random.default_rng(3)
+        p = jnp.asarray(rng.uniform(-10, 10, size=(128, 3)), jnp.float32)
+        q = jnp.asarray(rng.uniform(-10, 10, size=(128, 3)), jnp.float32)
+        idx = jnp.asarray(
+            np.stack([rng.choice(128, size=3, replace=False) for _ in range(256)]),
+            jnp.int32,
+        )
+        ref = minimal_moments_reference(idx, p, q)
+        out = minimal_moments(idx, p, q, impl="interpret")
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-5 * scale

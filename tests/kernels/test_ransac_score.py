@@ -7,9 +7,11 @@ import pytest
 
 from rgbd_pose_estimation_tpu.core.lie import se3_apply, se3_exp
 from rgbd_pose_estimation_tpu.ops.ransac_score import (
+    best_pose_3d3d,
     score_poses_2d3d,
     score_poses_2d3d_reference,
     score_poses_3d3d,
+    score_poses_3d3d_quad,
     score_poses_3d3d_reference,
 )
 
@@ -62,6 +64,58 @@ class TestScore3D3D:
         np.testing.assert_array_equal(
             np.argsort(np.asarray(m0)), np.argsort(np.asarray(m1))
         )
+
+
+class TestQuadFormScorer:
+    """MXU fast-ranking path (ops/ransac_score.py round-3): the quadratic
+    expansion must match the direct computation for ORTHONORMAL poses (on
+    CPU both are exact f32, so tolerances here bound only the expansion's
+    cancellation, not the TPU bf16 matmul measured in tools/msac_opt.py)."""
+
+    def test_quad_matches_reference(self):
+        rng = np.random.default_rng(0)
+        T = _poses(1, 512)
+        p = jnp.asarray(rng.normal(size=(384, 3)), jnp.float32)
+        q = jnp.asarray(rng.normal(size=(384, 3)), jnp.float32)
+        m_ref, _ = score_poses_3d3d_reference(T, p, q, 0.1)
+        m_q = score_poses_3d3d_quad(T, p, q, 0.1)
+        np.testing.assert_allclose(np.asarray(m_q), np.asarray(m_ref), rtol=2e-3)
+
+    def test_quad_survives_huge_pad_sentinels(self):
+        # Engine pads sit at ~1e4-3e4 coords; their e ~ 1e9 must still clamp
+        # to tau^2 under the expansion (error << e there).
+        rng = np.random.default_rng(1)
+        T = _poses(2, 256)
+        p = jnp.asarray(rng.normal(size=(100, 3)), jnp.float32)
+        q = se3_apply(T[3][None], p[None])[0]
+        from rgbd_pose_estimation_tpu.ransac.engine import (
+            pad_correspondences_3d3d,
+        )
+        pp, qq = pad_correspondences_3d3d(p, q, 128)
+        m_ref, _ = score_poses_3d3d_reference(T, pp, qq, 0.05)
+        m_q = score_poses_3d3d_quad(T, pp, qq, 0.05)
+        np.testing.assert_allclose(np.asarray(m_q), np.asarray(m_ref), rtol=2e-3)
+
+    def test_best_pose_finds_true_winner(self):
+        rng = np.random.default_rng(2)
+        T = _poses(3, 512)
+        p = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        q = se3_apply(T[41][None], p[None])[0]
+        best, score = best_pose_3d3d(T, p, q, 0.05)
+        assert int(best) == 41
+        assert float(score) < 1e-6
+
+    def test_best_pose_nan_guard(self):
+        # A NaN pose must never win, in either impl path.
+        rng = np.random.default_rng(3)
+        T = np.array(_poses(4, 256))  # writable copy
+        p = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        q = se3_apply(jnp.asarray(T[7])[None], p[None])[0]
+        T[9] = np.nan
+        for impl in ("auto", "exact"):
+            best, score = best_pose_3d3d(jnp.asarray(T), p, q, 0.05, impl=impl)
+            assert int(best) == 7
+            assert np.isfinite(float(score))
 
 
 class TestScore2D3D:

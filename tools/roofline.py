@@ -239,7 +239,12 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
     def s_gather(idx):
         pm = jnp.take(p, idx, axis=0)
         qm = jnp.take(q, idx, axis=0)
-        return idx + (1e30 * (pm[0, 0, 0] + qm[0, 0, 0])).astype(jnp.int32) * 0
+        # Chain through a value XLA cannot constant-fold away (a plain
+        # *0 multiply was DCE'd and measured the gather as free).
+        bump = jnp.floor(1e-30 * jnp.abs(pm[0, 0, 0] + qm[0, 0, 0])).astype(
+            jnp.int32
+        )
+        return idx + bump
 
     t_gather = timeit_scan(s_gather, idx0)
 
@@ -254,15 +259,25 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
 
     t_solve = timeit_scan(s_solve, pm0)
 
-    # -- MSAC scoring kernel --
+    # -- MSAC scoring: production two-stage select (MXU rank + exact top-k)
+    from rgbd_pose_estimation_tpu.ops.ransac_score import best_pose_3d3d
+
     T0 = horn_quaternion(pm0, qm0)
 
     @jax.jit
     def s_score(T):
+        best, score = best_pose_3d3d(T, p, q, cfg.threshold)
+        return T + 1e-30 * score
+
+    t_score = timeit_scan(s_score, T0)
+
+    # -- legacy VPU kernel alone (kept for comparison) --
+    @jax.jit
+    def s_score_vpu(T):
         msac, cnt = score_poses_3d3d(T, p, q, cfg.threshold)
         return T + 1e-30 * msac[:, None, None]
 
-    t_score = timeit_scan(s_score, T0)
+    t_score_vpu = timeit_scan(s_score_vpu, T0)
 
     # -- argmin + winner extraction --
     msac0, _ = score_poses_3d3d(T0, p, q, cfg.threshold)
@@ -293,11 +308,15 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
         "sample": t_sample,
         "gather": t_gather,
         "horn_solve": t_solve,
-        "score": t_score,
+        "score(2-stage)": t_score,
+        "score(vpu kernel)": t_score_vpu,
         "argmin": t_argmin,
         "refit": t_refit,
     }
     return {"K": K, "N": N, "full": t_full, "stages": stages}
+
+
+def audit_jtj(S: int = 2432, impl: str = "vpu"):
     """ICP JtJ kernel per-call time via a data-chained scan.
 
     S=2432 == 640x480 padded to the 64-sublane tile — the production
