@@ -138,7 +138,19 @@ def _level_iteration(
     if use_photo:
         si = src_ph.reshape(-1, 3)[:, 0]  # source intensity
 
-    def step(T, _):
+    # Fixed-correspondence inner steps (cfg.reassoc_every > 1): the gather
+    # is the whole step cost, while a GN step on FIXED (q, n) pairs is pure
+    # elementwise math — standard ICP alternation allows several minimize
+    # steps per association. The carry threads (g, in_b, ui, vi) between
+    # iterations; iteration i re-gathers iff i % reassoc_every == 0.
+    reassoc = max(int(getattr(cfg, "reassoc_every", 1)), 1)
+    use_carry = reassoc > 1 and cfg.association == "nearest"
+
+    def step(carry, it):
+        if use_carry:
+            T, assoc = carry
+        else:
+            T = carry
         R, t = T[:3, :3], T[:3, 3]
         p = sv @ R.T + t  # source vertices in target frame
         n_src = sn @ R.T
@@ -149,11 +161,22 @@ def _level_iteration(
         uv = jnp.stack([u, v], axis=-1)
 
         if cfg.association == "nearest":
-            ui = jnp.round(u).astype(jnp.int32)
-            vi = jnp.round(v).astype(jnp.int32)
-            in_b = (ui >= 0) & (ui < tw) & (vi >= 0) & (vi < th)
-            idx = jnp.clip(vi, 0, th - 1) * tw + jnp.clip(ui, 0, tw - 1)
-            g = jnp.take(tgt_pack, idx, axis=0)  # the ONE gather
+
+            def fresh_assoc(_):
+                ui = jnp.round(u).astype(jnp.int32)
+                vi = jnp.round(v).astype(jnp.int32)
+                in_b = (ui >= 0) & (ui < tw) & (vi >= 0) & (vi < th)
+                idx = jnp.clip(vi, 0, th - 1) * tw + jnp.clip(ui, 0, tw - 1)
+                g = jnp.take(tgt_pack, idx, axis=0)  # the ONE gather
+                return g, in_b, ui, vi
+
+            if use_carry:
+                assoc = jax.lax.cond(
+                    it % reassoc == 0, fresh_assoc, lambda a: a, assoc
+                )
+                g, in_b, ui, vi = assoc
+            else:
+                g, in_b, ui, vi = fresh_assoc(None)
             q, nt = g[:, 0:3], g[:, 3:6]
             q = jnp.where(in_b[:, None], q, 0.0)
             nt = jnp.where(in_b[:, None], nt, 0.0)
@@ -227,8 +250,20 @@ def _level_iteration(
         delta = jnp.where(ok, delta, jnp.zeros(6, dtype=delta.dtype))
         T_new = se3_exp(delta) @ T
         stats = jnp.stack([err, wsum])
+        if use_carry:
+            return (T_new, assoc), stats
         return T_new, stats
 
+    if use_carry:
+        ncol = tgt_pack.shape[-1]
+        S = sv.shape[0]
+        assoc0 = (
+            jnp.zeros((S, ncol), sv.dtype),
+            jnp.zeros((S,), bool),
+            jnp.zeros((S,), jnp.int32),
+            jnp.zeros((S,), jnp.int32),
+        )
+        return step, assoc0
     return step
 
 
@@ -249,16 +284,27 @@ def icp_track(
     T = T_init
     stats = jnp.zeros(2)
     has_photo = len(src.photo) > 0 and len(tgt.photo) > 0
+    use_carry = (
+        max(int(getattr(cfg, "reassoc_every", 1)), 1) > 1
+        and cfg.association == "nearest"
+    )
     for lvl in range(cfg.levels - 1, -1, -1):
         cam_l = cam.scaled(0.5**lvl)
-        step = _level_iteration(
+        made = _level_iteration(
             cam_l, cfg, src.vertices[lvl], src.normals[lvl],
             tgt.vertices[lvl], tgt.normals[lvl],
             src.photo[lvl] if has_photo else None,
             tgt.photo[lvl] if has_photo else None,
             level=lvl,
         )
-        T, stats_seq = jax.lax.scan(step, T, None, length=cfg.iters_per_level[lvl])
+        iters = cfg.iters_per_level[lvl]
+        if use_carry:
+            step, assoc0 = made
+            (T, _), stats_seq = jax.lax.scan(
+                step, (T, assoc0), jnp.arange(iters)
+            )
+        else:
+            T, stats_seq = jax.lax.scan(made, T, None, length=iters)
         stats = stats_seq[-1]
     return T, stats
 

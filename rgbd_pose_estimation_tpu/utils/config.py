@@ -70,6 +70,13 @@ class IcpConfig:
     # residual SAMPLE thins, s^2-fold). Point-to-plane ICP is massively
     # over-determined: 6 unknowns from ~77k residuals at stride 2.
     source_stride: tuple = (1, 1, 1)
+    # Re-associate every k-th GN iteration per level (1 = every iteration,
+    # the classic KinectFusion loop). Association IS the step cost (the
+    # index-rate-bound gather above), while fixed-correspondence GN steps
+    # are pure elementwise math — standard ICP alternation permits several
+    # minimize steps per association. Measured (BASELINE.md round-3): k=2
+    # halves the association count at equal hard-mode ATE.
+    reassoc_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -249,3 +249,25 @@ class TestSourceStride:
         assert err_pair < 1e-3, err_pair
         # The weight-sum drops roughly stride^2-fold at the finest level.
         assert float(stats[1]) > 100
+
+
+class TestReassocEvery:
+    def test_fixed_correspondence_inner_steps_track(self):
+        """reassoc_every=2 (fixed-correspondence inner GN steps) must track
+        the synthetic warped scene to the same tolerance as the default
+        every-iteration association (BASELINE.md round-3 experiment)."""
+        import dataclasses
+
+        cam = CameraIntrinsics(
+            fx=80.0, fy=80.0, cx=39.5, cy=29.5, width=80, height=60
+        )
+        T_true = se3_exp(jnp.asarray([0.01, -0.005, 0.008, 0.004, -0.006, 0.005]))
+        d0, _ = synthetic_depth_scene(cam, jnp.eye(4))
+        d1, _ = synthetic_depth_scene(cam, T_true)
+        for k in (1, 2):
+            cfg = IcpConfig(reassoc_every=k)
+            src = make_icp_frame(cam, d1, cfg)
+            tgt = make_icp_frame(cam, d0, cfg)
+            T, _ = icp_track(cam, cfg, jnp.eye(4), src, tgt)
+            err = float(jnp.max(jnp.abs(T - jnp.linalg.inv(T_true))))
+            assert err < 5e-3, (k, err)
