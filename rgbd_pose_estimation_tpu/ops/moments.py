@@ -95,7 +95,11 @@ def minimal_moments(
         return minimal_moments_reference(idx, p, q)
     K, m = idx.shape
     N = p.shape[0]
-    assert N % 128 == 0 and K % 256 == 0, (N, K)
+    if N % 128 != 0 or K % 256 != 0:
+        # Shapes the kernel's tiling can't serve (e.g. a user config with
+        # num_hypotheses=1000) silently take the gather path, which handles
+        # any (K, N) — the kernel is an optimization, never load-bearing.
+        return minimal_moments_reference(idx, p, q)
     kt = _KT if K % _KT == 0 else 256
     feat = _features(p, q)
     hi, lo = _split_hi_lo(feat)

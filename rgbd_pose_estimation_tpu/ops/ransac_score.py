@@ -86,6 +86,10 @@ def score_poses_3d3d(
     if impl == "reference" or (impl == "auto" and not _use_pallas()):
         return score_poses_3d3d_reference(T, p, q, threshold)
     K, N = T.shape[0], p.shape[0]
+    if impl == "auto" and (K % _KT != 0 or N % 128 != 0):
+        # Non-tileable shapes (odd user K) take the jnp twin — the kernel
+        # is an optimization, never load-bearing (SURVEY.md §4.4).
+        return score_poses_3d3d_reference(T, p, q, threshold)
     assert K % _KT == 0 and N % 128 == 0, (K, N)
     poses = pack_poses(T)
     pT = p.T  # (3, N)
@@ -182,7 +186,8 @@ def _quad_features(T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray):
     return feat, pn
 
 
-def score_poses_3d3d_quad(T, p, q, threshold: float, precision=None):
+def score_poses_3d3d_quad(T, p, q, threshold: float, precision=None,
+                          operand_dtype=None):
     """Fast MSAC scores for ORTHONORMAL poses via the MXU quad form.
 
     Returns the ``(K,)`` MSAC vector only (no inlier counts). With the
@@ -192,11 +197,24 @@ def score_poses_3d3d_quad(T, p, q, threshold: float, precision=None):
     candidates exactly before the final argmin. Conditioning: expansion
     error grows as coord_scale^2 x bf16_eps, so keep |p|,|q| under ~10
     scene units (TUM scenes are) or pass ``precision=HIGH``.
+
+    ``operand_dtype=jnp.bfloat16`` rounds the factored operands before the
+    dot — a faithful CPU emulation of the TPU's default bf16 MXU ingest,
+    used by the finalist-window stress test to reproduce the fast-score
+    error channel off-TPU.
     """
     feat, pn = _quad_features(T, p, q)
+    if operand_dtype is not None:
+        feat = feat.astype(operand_dtype)
+        pn = pn.astype(operand_dtype)
     e = jnp.dot(feat, pn, preferred_element_type=jnp.float32, precision=precision)
     tau2 = threshold * threshold
-    return jnp.sum(jnp.minimum(e, tau2), axis=1)
+    # clip, not minimum: squared residuals are nonnegative by construction,
+    # but bf16 rounding of the expansion (~coord_scale^2 * 2^-8 absolute)
+    # can drive near-zero entries — and the ~1e4 pad sentinels — negative,
+    # which min(e, tau2) would inject into the ranking sum as spurious
+    # negative terms. The clamp is free on the VPU.
+    return jnp.sum(jnp.clip(e, 0.0, tau2), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "top", "impl"))
@@ -205,13 +223,13 @@ def best_pose_3d3d(
     p: jnp.ndarray,
     q: jnp.ndarray,
     threshold: float,
-    top: int = 16,
+    top: int = 0,
     impl: str = "auto",
 ):
     """Select the best of K poses: fast ranking pass + exact finalist pass.
 
-    Two-stage design (BASELINE.md round-3 estimator anatomy): all K
-    hypotheses are ranked by :func:`score_poses_3d3d_quad` on the MXU
+    Two-stage design (BASELINE.md "Measured — round 3" estimator anatomy):
+    all K hypotheses are ranked by :func:`score_poses_3d3d_quad` on the MXU
     (~5x the VPU kernel's speed), then the ``top`` finalists are re-scored
     by the exact jnp twin (``top``xN is negligible) and the final argmin is
     taken over exact scores. The true winner is recovered whenever it
@@ -220,18 +238,36 @@ def best_pose_3d3d(
     for the refit that follows (the engine re-derives inliers from the
     winner exactly).
 
+    ``top=0`` (default) scales the finalist window with K —
+    ``max(16, K // 1024)`` — so the exact re-score band widens as the
+    near-tie population grows at large K. Measured worst-case bound
+    (tests/kernels/test_ransac_score.py::test_finalist_window_adversarial,
+    hundreds of near-ties whose inlier sets differ on threshold-straddling
+    residuals): the PRE-refit pick can land ~3% above the exact-MSAC
+    optimum, but the near-tie band shares one refit basin, so the engine's
+    exact inlier refit erases the gap (refit poses agree to <1e-3).
+
     NaN scores (degenerate minimal sets) rank last in both passes.
     Returns ``(best_index, best_exact_msac)``. ``impl="exact"`` (and any
     non-TPU backend) bypasses the fast pass entirely.
     """
     K = T.shape[0]
+    if top <= 0:
+        top = max(16, K // 1024)
     top = min(top, K)
     if impl == "exact" or (impl == "auto" and jax.default_backend() != "tpu"):
         msac, _ = score_poses_3d3d(T, p, q, threshold, impl="auto")
         msac = jnp.where(jnp.isnan(msac), jnp.inf, msac)
         best = jnp.argmin(msac)
         return best, msac[best]
-    fast = score_poses_3d3d_quad(T, p, q, threshold)
+    # impl == "two_stage" forces the fast-rank + exact-finalist structure on
+    # any backend; off-TPU the fast operands are rounded to bf16 so the
+    # ranking carries the same ~1e-2 error channel as the TPU MXU ingest.
+    emulate = impl == "two_stage" and jax.default_backend() != "tpu"
+    fast = score_poses_3d3d_quad(
+        T, p, q, threshold,
+        operand_dtype=jnp.bfloat16 if emulate else None,
+    )
     fast = jnp.where(jnp.isnan(fast), jnp.inf, fast)
     _, cand = jax.lax.top_k(-fast, top)  # (top,) indices of smallest scores
     # Finalists re-scored in true f32 (HIGHEST keeps the einsum off the
@@ -285,6 +321,8 @@ def score_poses_2d3d(
     if impl == "reference" or (impl == "auto" and not _use_pallas()):
         return score_poses_2d3d_reference(T, points, obs, threshold)
     K, N = T.shape[0], points.shape[0]
+    if impl == "auto" and (K % _KT != 0 or N % 128 != 0):
+        return score_poses_2d3d_reference(T, points, obs, threshold)
     assert K % _KT == 0 and N % 128 == 0, (K, N)
     poses = pack_poses(T)
     kernel = functools.partial(_score2d_kernel, tau2=threshold * threshold)

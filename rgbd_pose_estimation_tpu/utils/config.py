@@ -74,8 +74,13 @@ class IcpConfig:
     # the classic KinectFusion loop). Association IS the step cost (the
     # index-rate-bound gather above), while fixed-correspondence GN steps
     # are pure elementwise math — standard ICP alternation permits several
-    # minimize steps per association. Measured (BASELINE.md round-3): k=2
-    # halves the association count at equal hard-mode ATE.
+    # minimize steps per association. Measured (BASELINE.md "Measured —
+    # round 4", tools/reassoc_exp.py): see that table for the k-sweep and
+    # the recorded keep/revert decision. Limitation: under icp_track_batch's
+    # vmap (loop-closure verification) the lax.cond lowers to a select that
+    # executes BOTH branches, so k>1 saves nothing on that batched path —
+    # correctness is unaffected; the single-track odometry path gets the
+    # full savings.
     reassoc_every: int = 1
 
 

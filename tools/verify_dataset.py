@@ -290,6 +290,9 @@ def check_groundtruth(seq) -> bool:
 
 
 def main(root: str) -> int:
+    # Reset: a second invocation in the same process must not double-count
+    # earlier checks in the summary/exit code.
+    del _RESULTS[:]
     print(f"# Dataset readiness: {root}\n")
     kind = check_layout(root)
     if not kind:
