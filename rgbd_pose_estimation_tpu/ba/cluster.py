@@ -396,18 +396,27 @@ def block_ba_problem_device(
     # Device `dropped` counts every overflowing row (pads included).
     dropped_host = int((~ok).sum())
 
+    # Non-observation fields become GLOBAL arrays too (poses/priors
+    # replicated, blocked points landmark-sharded), so the returned problem
+    # feeds ba_solve_blocked/ba_step_blocked directly even when the mesh
+    # spans processes — a committed single-device array would not.
+    from jax.sharding import PartitionSpec as P
+
+    def _rep(x):
+        return None if x is None else put_global(mesh, P(), np.asarray(x))
+
     blocked = BAProblem(
-        poses=prob.poses,
-        points=jnp.asarray(pts_blocked),
+        poses=_rep(prob.poses),
+        points=put_global(mesh, sl.landmarks_blocked(), pts_blocked),
         cam_idx=out["cam_idx"],
         lm_idx=out["lm_idx"],
         obs=out["obs"],
         w=w_dev,
         obs_z=out.get("obs_z"),
-        prior_i=prob.prior_i,
-        prior_j=prob.prior_j,
-        prior_T_inv=prob.prior_T_inv,
-        prior_w=prob.prior_w,
+        prior_i=_rep(prob.prior_i),
+        prior_j=_rep(prob.prior_j),
+        prior_T_inv=_rep(prob.prior_T_inv),
+        prior_w=_rep(prob.prior_w),
     )
     layout = BlockedLayout(
         lm_perm=lm_perm,

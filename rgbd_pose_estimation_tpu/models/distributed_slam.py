@@ -42,6 +42,9 @@ from rgbd_pose_estimation_tpu.models.odometry import Keyframe
 from rgbd_pose_estimation_tpu.models.sequence_parallel import (
     sequence_parallel_odometry,
 )
+from jax.sharding import PartitionSpec as PSpec
+
+from rgbd_pose_estimation_tpu.parallel.mesh import fetch_global
 from rgbd_pose_estimation_tpu.parallel.sharded import (
     ba_solve_blocked,
     ring_similarity,
@@ -71,8 +74,12 @@ def ring_loop_candidates(
     per-device memory (SURVEY.md §5.7(2)); the tiny top-k filter runs on
     host. Descriptor count is padded to the mesh size with zero rows
     (cosine 0 — never a candidate)."""
+    from rgbd_pose_estimation_tpu.parallel.mesh import put_global
+
     D, k_real = _pad_pow2_rows(descriptors.astype(np.float32), mesh.size)
-    sim = np.asarray(ring_similarity(mesh, jnp.asarray(D)))[:k_real, :k_real]
+    row_spec = PSpec(tuple(mesh.axis_names))
+    sim_dev = ring_similarity(mesh, put_global(mesh, row_spec, D))
+    sim = fetch_global(mesh, row_spec, sim_dev)[:k_real, :k_real]
     ia, ib = np.triu_indices(k_real, k=min_gap + 1)
     vals = sim[ia, ib]
     order = np.argsort(-vals)[:max_candidates]
@@ -109,13 +116,19 @@ def distributed_slam(
     # overlap/interval-driven keyframe choices — the SAME policy the
     # single-host ``Slam``/``DenseOdometry`` twin applies, so config-4 and
     # config-5 backends see comparable keyframe sets (round-2 verdict
-    # item 6). ``kf_stride`` remains as an explicit override.
+    # item 6). ``kf_stride`` remains as an explicit override. Under a
+    # multi-process launch the chunks are partitioned across processes
+    # (round-3 verdict item 1): each process tracks only its contiguous
+    # share — ``frames_tracked`` below is the per-process scaling
+    # observable — and one host-axis all_gather exchanges the per-chunk
+    # poses before the replicated stitch.
+    sp_stats: dict = {}
     traj, kf_auto = sequence_parallel_odometry(
         cam, depths, n_chunks=n_chunks, overlap=overlap,
         icp_cfg=cfg.icp, kf_cfg=cfg.keyframe, pg_cfg=cfg.pose_graph,
-        return_keyframes=True,
+        return_keyframes=True, mesh=mesh, stats=sp_stats,
     )
-    metrics.log(stage="odometry", frames=n, chunks=n_chunks)
+    metrics.log(stage="odometry", frames=n, chunks=n_chunks, **sp_stats)
 
     if kf_stride is not None:
         kf_idx = list(range(0, n, kf_stride))
@@ -211,14 +224,15 @@ def distributed_slam(
         blocked, layout, cstats, dropped = block_ba_problem_device(
             mesh, prob
         )
-        dropped = int(dropped)
+        dropped = int(fetch_global(mesh, PSpec(), dropped))
         if dropped:
             raise RuntimeError(
                 f"reshard_obs_to_blocks dropped {dropped} observations — "
                 "per-(src,dst) capacity underestimated"
             )
         out, costs = ba_solve_blocked(mesh, blocked, cfg.ba)
-        kf_poses = np.asarray(out.poses)
+        kf_poses = fetch_global(mesh, PSpec(), out.poses)
+        costs = fetch_global(mesh, PSpec(), costs)
         metrics.log(
             stage="ba", layout="blocked", reshard_dropped=dropped,
             cost_first=float(costs[0]), cost_last=float(costs[-1]),

@@ -3,9 +3,20 @@
 SURVEY.md §5.7 mechanism (1): the "long context" of this framework is the
 video. For offline trajectory estimation the sequence is split into P
 overlapping chunks; each chunk runs dense ICP odometry *independently*
-(embarrassingly parallel — one chunk per host on a pod, threads here), and
-the overlap frames yield relative-anchor constraints that a small SE(3)
-pose graph solves to stitch chunks into one consistent trajectory.
+(embarrassingly parallel — chunks are partitioned CONTIGUOUSLY across
+processes on a multi-host launch, and fan out to threads within each
+process), and the overlap frames yield relative-anchor constraints that a
+small SE(3) pose graph solves to stitch chunks into one consistent
+trajectory.
+
+Multi-host exchange (round-3 verdict item 1): each process runs dense ICP
+only on its OWN chunks — the dominant pipeline stage scales with host
+count — then the fixed-size per-chunk pose arrays + keyframe flags are
+exchanged with ONE ``allgather_hosts`` over the host (DCN) axis
+(parallel/mesh.py), after which every process runs the identical anchor
+pose graph on identical inputs. Frames outside a process's chunks are
+never read from ``depths``, so a lazy loader (cli/main.py) also shards
+the decode I/O.
 
 Math: chunk k stores local poses Q_k(f) (chunk-start camera = chunk world).
 A frame f in the overlap of chunks k-1 and k ties their global anchors
@@ -17,10 +28,11 @@ overlap instead of trusting a single frame.
 from __future__ import annotations
 
 import concurrent.futures
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
@@ -58,6 +70,48 @@ def _run_chunk(cam, icp_cfg, kf_cfg, frames):
     return odo.trajectory(), [k.index for k in odo.keyframes]
 
 
+def _exchange_chunks(mesh, ranges, local, local_results):
+    """All-gather per-chunk odometry results across processes.
+
+    Packs each local chunk into a fixed-size ``(max_len, 17)`` f32 row
+    (16 = flattened 4x4 pose, 1 = keyframe flag; pose bits ride exactly —
+    they are f32 on both ends), exchanges the disjoint-support
+    ``(C, max_len, 17)`` arrays with ONE host-axis all_gather
+    (parallel/mesh.py::allgather_hosts), and sums the per-process
+    contributions. Returns the full per-chunk ``(poses, kf_indices)`` list
+    every process can stitch identically.
+    """
+    from rgbd_pose_estimation_tpu.parallel.mesh import allgather_hosts
+
+    C = len(ranges)
+    max_len = max(e - s for s, e in ranges)
+    pack = np.zeros((C, max_len, 17), np.float32)
+    for c, res in zip(local, local_results):
+        poses, kfs = res if isinstance(res, tuple) else (res, ())
+        L = ranges[c][1] - ranges[c][0]
+        pack[c, :L, :16] = np.asarray(poses, np.float32).reshape(L, 16)
+        for k in kfs:
+            pack[c, k, 16] = 1.0
+    total = allgather_hosts(mesh, pack).sum(axis=0)
+    out = []
+    for c, (s, e) in enumerate(ranges):
+        L = e - s
+        poses = total[c, :L, :16].reshape(L, 4, 4)
+        kfs = [int(k) for k in np.nonzero(total[c, :L, 16])[0]]
+        out.append((poses, kfs))
+    return out
+
+
+def local_chunk_indices(n_chunks: int, n_procs: int, pid: int) -> list:
+    """Contiguous chunk→process partition: process ``pid``'s chunk ids.
+
+    Contiguous (not round-robin) so each process's frame window — and hence
+    its decode I/O under a lazy loader — is one contiguous span.
+    """
+    bounds = np.linspace(0, n_chunks, n_procs + 1).round().astype(int)
+    return list(range(bounds[pid], bounds[pid + 1]))
+
+
 def sequence_parallel_odometry(
     cam: CameraIntrinsics,
     depths: Sequence[np.ndarray],
@@ -69,6 +123,8 @@ def sequence_parallel_odometry(
     chunk_runner: Callable = None,
     parallel: bool = True,
     return_keyframes: bool = False,
+    mesh=None,
+    stats: Optional[dict] = None,
 ):
     """Estimate the full trajectory with chunk-parallel odometry.
 
@@ -79,25 +135,52 @@ def sequence_parallel_odometry(
     global frame indices of the keyframes each chunk's tracker chose
     (overlap-frame duplicates dropped) — the unified keyframe policy
     shared with ``DenseOdometry``/``Slam``.
+
+    Under a multi-process launch pass ``mesh`` (built by ``runtime_mesh``,
+    host axis = processes): each process then tracks ONLY its contiguous
+    share of the chunks and the per-chunk results are exchanged with one
+    host-axis all_gather before the (replicated) stitch. ``stats`` (a
+    dict, mutated in place) reports ``local_chunks`` / ``frames_tracked``
+    for this process — the scaling observable the multi-process tests
+    assert on.
     """
     n = len(depths)
     ranges = chunk_ranges(n, n_chunks, overlap)
+    C = len(ranges)
     runner = chunk_runner or (
         lambda frames: _run_chunk(cam, icp_cfg, kf_cfg, frames)
     )
 
-    if parallel and len(ranges) > 1:
-        with concurrent.futures.ThreadPoolExecutor(len(ranges)) as ex:
-            results = list(ex.map(lambda r: runner([depths[i] for i in range(*r)]), ranges))
+    procs = jax.process_count() if mesh is not None else 1
+    if procs > 1:
+        local = local_chunk_indices(C, procs, jax.process_index())
     else:
-        results = [runner([depths[i] for i in range(*r)]) for r in ranges]
+        local = list(range(C))
+    if stats is not None:
+        stats["local_chunks"] = len(local)
+        stats["frames_tracked"] = sum(
+            ranges[c][1] - ranges[c][0] for c in local
+        )
+
+    def _run(c):
+        s, e = ranges[c]
+        return runner([depths[i] for i in range(s, e)])
+
+    if parallel and len(local) > 1:
+        with concurrent.futures.ThreadPoolExecutor(len(local)) as ex:
+            local_results = list(ex.map(_run, local))
+    else:
+        local_results = [_run(c) for c in local]
+
+    if procs > 1:
+        results = _exchange_chunks(mesh, ranges, local, local_results)
+    else:
+        results = local_results
 
     # Custom runners may return poses only.
     locals_, kfs_ = zip(*(
         res if isinstance(res, tuple) else (res, None) for res in results
     ))
-
-    C = len(ranges)
 
     def _keyframes(out):
         kf_global = set()

@@ -133,8 +133,14 @@ def fetch_global(mesh: Mesh, spec, x) -> np.ndarray:
 
     if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
-    assert all(part is None for part in spec[1:]), (
-        "fetch_global only supports axis-0-sharded specs", spec)
+    if any(part is not None for part in spec[1:]):
+        raise NotImplementedError(
+            f"fetch_global only gathers axis-0-sharded arrays (spec={spec}). "
+            "For an array sharded along a later axis, either move the "
+            "sharded axis to position 0 (jnp.moveaxis under the same spec "
+            "rotation) before fetching, or fetch via jax.experimental."
+            "multihost_utils.process_allgather."
+        )
     part = spec[0] if len(spec) else None
     axes = (part,) if isinstance(part, str) else tuple(part or ())
     if not axes:
@@ -150,6 +156,42 @@ def fetch_global(mesh: Mesh, spec, x) -> np.ndarray:
         body, mesh=mesh, in_specs=(spec,), out_specs=P(), check_vma=False
     )
     return np.asarray(f(x))
+
+
+def allgather_hosts(mesh: Mesh, x) -> np.ndarray:
+    """Exchange PER-PROCESS host data: every process contributes its own
+    ``x`` (same shape/dtype everywhere) and receives ``(procs, *x.shape)``.
+
+    This is the host-data exchange primitive for process-sharded pipeline
+    stages (SURVEY.md §5.7(1) sequence-parallel odometry): each process
+    tracks only its local trajectory chunks, then the fixed-size per-chunk
+    pose arrays are exchanged here — one all_gather over the host (DCN)
+    axis — so every process can run the identical global stitch.
+
+    Unlike :func:`put_global` (which requires SPMD-identical host copies),
+    the rows here genuinely DIFFER per process: the global array is built
+    axis-0-sharded over the host axis with each process supplying its own
+    row, then gathered via :func:`fetch_global`.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    x = np.ascontiguousarray(x)
+    procs = jax.process_count()
+    if procs == 1:
+        return x[None]
+    host_axis = mesh.axis_names[0]
+    if mesh.shape[host_axis] != procs:
+        raise ValueError(
+            f"allgather_hosts needs the mesh host axis ({host_axis}="
+            f"{mesh.shape[host_axis]}) to span the {procs} processes — "
+            "build the mesh with runtime_mesh()"
+        )
+    sharding = NamedSharding(mesh, P(host_axis))
+    garr = jax.make_array_from_callback(
+        (procs,) + x.shape, sharding, lambda idx: x[None]
+    )
+    return fetch_global(mesh, P(host_axis), garr)
 
 
 def distributed_init(

@@ -316,6 +316,124 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
     return {"K": K, "N": N, "full": t_full, "stages": stages}
 
 
+def audit_ransac_estimate_2d3d(K: int = 2048, N: int = 1024):
+    """Anatomy of the FULL 2d3d (P3P) RANSAC estimate (round-3 verdict
+    Weak #3 / round-4 item 6) — config-2 is a metric-of-record config.
+
+    Stages, each scan-chained separately: PROSAC sampling, the (K, 3)-row
+    gathers of the minimal sets (3D points + 2D obs), bearing-ray
+    normalization, the Grunert P3P quartic solve (all 4 roots → 4K poses),
+    VPU MSAC scoring of all 4K poses, argmin, and the damped-GN PnP polish.
+    The reprojection residual admits no 17-feature quad form (division by
+    depth), so there is no MXU ranking stage here; the question this audit
+    answers is where the 2d3d estimate's time actually goes.
+    """
+    from rgbd_pose_estimation_tpu.ransac import engine
+    from rgbd_pose_estimation_tpu.ransac.prosac import sample_minimal_sets
+    from rgbd_pose_estimation_tpu.solvers.p3p import p3p
+    from rgbd_pose_estimation_tpu.solvers.pnp import pnp_refine
+    from rgbd_pose_estimation_tpu.ops.ransac_score import score_poses_2d3d
+    from rgbd_pose_estimation_tpu.utils.config import RansacConfig
+
+    cfg = RansacConfig(num_hypotheses=K, threshold=0.01)
+    kp = jax.random.key(1)
+    pts = jax.random.normal(jax.random.key(2), (N, 3)) + jnp.asarray(
+        [0.0, 0.0, 4.0]
+    )
+    obs = jax.random.normal(jax.random.key(3), (N, 2)) * 0.3
+
+    def s_full(pp):
+        res = engine.estimate_pose_2d3d(kp, pp, obs, cfg)
+        return pp + 1e-30 * res.pose[:3, 0]
+
+    t_full = timeit_scan(s_full, pts)
+
+    @jax.jit
+    def s_sample(k):
+        idx = sample_minimal_sets(k, N, K, 3, cfg.prosac)
+        return jax.random.fold_in(k, idx[0, 0])
+
+    t_sample = timeit_scan(s_sample, kp)
+
+    idx0 = sample_minimal_sets(kp, N, K, 3, cfg.prosac)
+
+    @jax.jit
+    def s_gather(idx):
+        pm = jnp.take(pts, idx, axis=0)
+        om = jnp.take(obs, idx, axis=0)
+        bump = jnp.floor(1e-30 * jnp.abs(pm[0, 0, 0] + om[0, 0, 0])).astype(
+            jnp.int32
+        )
+        return idx + bump
+
+    t_gather = timeit_scan(s_gather, idx0)
+
+    pm0 = jnp.take(pts, idx0, axis=0)
+    om0 = jnp.take(obs, idx0, axis=0)
+
+    @jax.jit
+    def s_rays(om):
+        rays = jnp.concatenate([om, jnp.ones_like(om[..., :1])], axis=-1)
+        rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+        return om + 1e-30 * rays[..., :2]
+
+    t_rays = timeit_scan(s_rays, om0)
+
+    rays0 = jnp.concatenate([om0, jnp.ones_like(om0[..., :1])], axis=-1)
+    rays0 = rays0 / jnp.linalg.norm(rays0, axis=-1, keepdims=True)
+
+    @jax.jit
+    def s_p3p(pm):
+        T_roots, valid = p3p(pm, rays0)
+        return pm + 1e-30 * T_roots[:, 0, :3, 3][:, None, :]
+
+    t_p3p = timeit_scan(s_p3p, pm0)
+
+    T_roots0, valid0 = p3p(pm0, rays0)
+    T_all0 = jnp.where(
+        valid0.reshape(-1)[:, None, None],
+        T_roots0.reshape(K * 4, 4, 4),
+        jnp.eye(4),
+    )
+
+    @jax.jit
+    def s_score(T):
+        msac, cnt = score_poses_2d3d(T, pts, obs, cfg.threshold)
+        return T + 1e-30 * msac[:, None, None]
+
+    t_score = timeit_scan(s_score, T_all0)
+
+    msac0, _ = score_poses_2d3d(T_all0, pts, obs, cfg.threshold)
+
+    @jax.jit
+    def s_argmin(m):
+        b = jnp.argmin(jnp.where(jnp.isnan(m), jnp.inf, m))
+        return m + 1e-30 * T_all0[b, 0, 0]
+
+    t_argmin = timeit_scan(s_argmin, msac0)
+
+    @jax.jit
+    def s_refine(T_cur):
+        Xc = pts @ T_cur[:3, :3].T + T_cur[:3, 3]
+        z = jnp.maximum(Xc[:, 2], 1e-6)
+        e = jnp.sum((Xc[:, :2] / z[:, None] - obs) ** 2, axis=-1)
+        w = (e < cfg.threshold**2).astype(pts.dtype)
+        return pnp_refine(T_cur, pts, obs, weights=w, iters=8)
+
+    t_refine = timeit_scan(s_refine, jnp.eye(4))
+
+    stages = {
+        "sample": t_sample,
+        "gather": t_gather,
+        "ray_normalize": t_rays,
+        "p3p_solve": t_p3p,
+        "score(vpu, 4K poses)": t_score,
+        "argmin": t_argmin,
+        "pnp_refine": t_refine,
+    }
+    return {"K": K, "N": N, "full": t_full, "stages": stages}
+
+
 def audit_jtj(S: int = 2432, impl: str = "vpu"):
     """ICP JtJ kernel per-call time via a data-chained scan.
 
@@ -536,6 +654,19 @@ def main():
         ssum = sum(ra["stages"].values())
         print(f"| Σ stages | {ssum*1e6:.0f} us | {ssum/ra['full']*100:.0f}% |")
         print(f"| FULL estimate | {ra['full']*1e6:.0f} us | 100% |")
+
+    rb = audit_ransac_estimate_2d3d(K=2048, N=1024)
+    print(
+        f"\n## RANSAC 2d3d (P3P) estimate anatomy (K={rb['K']} samples = "
+        f"{4*rb['K']} scored poses, N={rb['N']}, in-program)\n"
+    )
+    print("| stage | time | share of full |")
+    print("|---|---|---|")
+    for name, s in rb["stages"].items():
+        print(f"| {name} | {s*1e6:.0f} us | {s/rb['full']*100:.0f}% |")
+    ssum = sum(rb["stages"].values())
+    print(f"| Σ stages | {ssum*1e6:.0f} us | {ssum/rb['full']*100:.0f}% |")
+    print(f"| FULL estimate | {rb['full']*1e6:.0f} us | 100% |")
 
 
 if __name__ == "__main__":
