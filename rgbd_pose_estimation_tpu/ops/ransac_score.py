@@ -157,7 +157,8 @@ def _quad_features(T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray):
 
     The full (K, N) residual matrix then rides the MXU as a single matmul
     instead of a ~19-op/element VPU chain — measured ~5x faster than the
-    Pallas VPU kernel at the bench shape (BASELINE.md round-3 table).
+    Pallas VPU kernel at the bench shape (BASELINE.md "Measured — rounds
+    3+4", MSAC kernel-variant shootout).
     """
     K, N = T.shape[0], p.shape[0]
     R = T[:, :3, :3]

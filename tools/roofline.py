@@ -289,14 +289,17 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
 
     t_argmin = timeit_scan(s_argmin, msac0)
 
-    # -- refit rounds (weighted Kabsch on all N, cfg.refit_rounds x) --
+    # -- refit rounds (weighted Horn on all N, cfg.refit_rounds x — mirrors
+    # the production engine; Kabsch's single 3x3 SVD alone costs ~27 us) --
     @jax.jit
     def s_refit(T_cur):
         def one(Tc, _):
             e = jnp.sum((q - (p @ Tc[:3, :3].T + Tc[:3, 3])) ** 2, axis=-1)
             w = (e < cfg.threshold**2).astype(p.dtype)
             enough = jnp.sum(w) >= 3
-            T_new = kabsch(p, q, weights=jnp.where(enough, w, jnp.ones_like(w)))
+            T_new = horn_quaternion(
+                p, q, weights=jnp.where(enough, w, jnp.ones_like(w))
+            )
             return jnp.where(enough, T_new, Tc), None
 
         T2, _ = jax.lax.scan(one, T_cur, None, length=cfg.refit_rounds)
