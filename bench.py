@@ -104,8 +104,12 @@ def main():
     db, _ = synthetic_depth_scene(cam, T_gt)
 
     icp_ms = {}
-    for name, stride in (("dense", (1, 1, 1)), ("config3", (4, 4, 2))):
-        icfg = IcpConfig(downscale=1, source_stride=stride)
+    for name, stride, reassoc in (
+        ("dense", (1, 1, 1), 1),
+        ("config3", (4, 4, 2), 2),  # matches configs/config3 (reassoc k=2)
+    ):
+        icfg = IcpConfig(downscale=1, source_stride=stride,
+                         reassoc_every=reassoc)
         mk = jax.jit(lambda d: make_icp_frame(cam, d, icfg))
         fa, fb = mk(da), mk(db)
         out = icp_track(cam, icfg, jnp.eye(4), fb, fa)

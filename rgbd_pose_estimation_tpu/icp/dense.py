@@ -141,16 +141,16 @@ def _level_iteration(
     # Fixed-correspondence inner steps (cfg.reassoc_every > 1): the gather
     # is the whole step cost, while a GN step on FIXED (q, n) pairs is pure
     # elementwise math — standard ICP alternation allows several minimize
-    # steps per association. The carry threads (g, in_b, ui, vi) between
-    # iterations; iteration i re-gathers iff i % reassoc_every == 0.
-    reassoc = max(int(getattr(cfg, "reassoc_every", 1)), 1)
-    use_carry = reassoc > 1 and cfg.association == "nearest"
+    # steps per association. The fresh/stale choice is made at TRACE time
+    # (``assoc=None`` → re-gather): an earlier lax.cond formulation lowered
+    # to a select that executed BOTH branches, so k>1 bought no time at all
+    # (BASELINE.md "Measured — rounds 3+4", first reassoc experiment);
+    # icp_track unrolls the k-pattern statically instead.
 
-    def step(carry, it):
-        if use_carry:
-            T, assoc = carry
-        else:
-            T = carry
+    def step(T, assoc=None):
+        """One GN iteration. ``assoc=None`` performs fresh association (the
+        gather); passing the previous step's ``assoc`` reuses it — a purely
+        static (trace-time) decision. Returns ``(T_new, stats, assoc)``."""
         R, t = T[:3, :3], T[:3, 3]
         p = sv @ R.T + t  # source vertices in target frame
         n_src = sn @ R.T
@@ -161,22 +161,14 @@ def _level_iteration(
         uv = jnp.stack([u, v], axis=-1)
 
         if cfg.association == "nearest":
-
-            def fresh_assoc(_):
+            if assoc is None:
                 ui = jnp.round(u).astype(jnp.int32)
                 vi = jnp.round(v).astype(jnp.int32)
                 in_b = (ui >= 0) & (ui < tw) & (vi >= 0) & (vi < th)
                 idx = jnp.clip(vi, 0, th - 1) * tw + jnp.clip(ui, 0, tw - 1)
                 g = jnp.take(tgt_pack, idx, axis=0)  # the ONE gather
-                return g, in_b, ui, vi
-
-            if use_carry:
-                assoc = jax.lax.cond(
-                    it % reassoc == 0, fresh_assoc, lambda a: a, assoc
-                )
-                g, in_b, ui, vi = assoc
-            else:
-                g, in_b, ui, vi = fresh_assoc(None)
+                assoc = (g, in_b, ui, vi)
+            g, in_b, ui, vi = assoc
             q, nt = g[:, 0:3], g[:, 3:6]
             q = jnp.where(in_b[:, None], q, 0.0)
             nt = jnp.where(in_b[:, None], nt, 0.0)
@@ -250,20 +242,8 @@ def _level_iteration(
         delta = jnp.where(ok, delta, jnp.zeros(6, dtype=delta.dtype))
         T_new = se3_exp(delta) @ T
         stats = jnp.stack([err, wsum])
-        if use_carry:
-            return (T_new, assoc), stats
-        return T_new, stats
+        return T_new, stats, assoc
 
-    if use_carry:
-        ncol = tgt_pack.shape[-1]
-        S = sv.shape[0]
-        assoc0 = (
-            jnp.zeros((S, ncol), sv.dtype),
-            jnp.zeros((S,), bool),
-            jnp.zeros((S,), jnp.int32),
-            jnp.zeros((S,), jnp.int32),
-        )
-        return step, assoc0
     return step
 
 
@@ -284,13 +264,11 @@ def icp_track(
     T = T_init
     stats = jnp.zeros(2)
     has_photo = len(src.photo) > 0 and len(tgt.photo) > 0
-    use_carry = (
-        max(int(getattr(cfg, "reassoc_every", 1)), 1) > 1
-        and cfg.association == "nearest"
-    )
+    reassoc = max(int(getattr(cfg, "reassoc_every", 1)), 1)
+    use_carry = reassoc > 1 and cfg.association == "nearest"
     for lvl in range(cfg.levels - 1, -1, -1):
         cam_l = cam.scaled(0.5**lvl)
-        made = _level_iteration(
+        step = _level_iteration(
             cam_l, cfg, src.vertices[lvl], src.normals[lvl],
             tgt.vertices[lvl], tgt.normals[lvl],
             src.photo[lvl] if has_photo else None,
@@ -299,13 +277,22 @@ def icp_track(
         )
         iters = cfg.iters_per_level[lvl]
         if use_carry:
-            step, assoc0 = made
-            (T, _), stats_seq = jax.lax.scan(
-                step, (T, assoc0), jnp.arange(iters)
-            )
+            # Static unroll (iters <= ~10): iteration i re-gathers iff
+            # i % reassoc == 0, everything else reuses the association —
+            # the skip is real at trace time (no cond/select executing
+            # both branches; see the note in _level_iteration).
+            assoc = None
+            for i in range(iters):
+                T, stats, assoc = step(
+                    T, None if i % reassoc == 0 else assoc
+                )
         else:
-            T, stats_seq = jax.lax.scan(made, T, None, length=iters)
-        stats = stats_seq[-1]
+            def body(T, _):
+                T2, st, _assoc = step(T)
+                return T2, st
+
+            T, stats_seq = jax.lax.scan(body, T, None, length=iters)
+            stats = stats_seq[-1]
     return T, stats
 
 

@@ -158,6 +158,39 @@ def horn_quaternion(
     )
 
 
+def horn_rotation_directions(
+    vp: jnp.ndarray, vq: jnp.ndarray, weights=None, iters: int = 12
+) -> jnp.ndarray:
+    """Best rotation aligning direction sets: vq_i ≈ R vp_i, NO centroiding.
+
+    The SVD-free path for Wahba's problem: identical Horn N-matrix eigen
+    machinery as :func:`horn_quaternion`, fed the raw (uncentered)
+    direction correlation Σ w vp_a vq_b. Exists because batched small SVD
+    is a TPU trap — ~27 us PER 3x3 matrix in XLA's QR-iteration loop
+    (BASELINE.md "Measured — rounds 3+4") — which made the SVD-based
+    Procrustes in the 2-pt-normals RANSAC engine cost tens of ms per
+    estimate. Returns ``(..., 3, 3)`` proper rotations.
+    """
+    if weights is None:
+        w = jnp.ones(vp.shape[:-1], dtype=vp.dtype)
+    else:
+        w = weights
+    px, py, pz = vp[..., 0], vp[..., 1], vp[..., 2]
+    qx, qy, qz = vq[..., 0], vq[..., 1], vq[..., 2]
+
+    def hsum(a, b):
+        return jnp.sum(w * a * b, axis=-1)
+
+    cov = (
+        hsum(px, qx), hsum(px, qy), hsum(px, qz),
+        hsum(py, qx), hsum(py, qy), hsum(py, qz),
+        hsum(pz, qx), hsum(pz, qy), hsum(pz, qz),
+    )
+    zero = jnp.zeros_like(cov[0])
+    T = _horn_from_components((zero, zero, zero), (zero, zero, zero), cov, iters)
+    return T[..., :3, :3]
+
+
 def horn_from_moments(mom: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
     """Horn solve directly from per-sample moment sums (no point arrays).
 

@@ -21,19 +21,19 @@ from rgbd_pose_estimation_tpu.core.lie import rt_to_matrix, so3_exp
 def procrustes_rotation(vp: jnp.ndarray, vq: jnp.ndarray, weights=None) -> jnp.ndarray:
     """Best rotation R with vq_i ≈ R vp_i (no centroiding — directions).
 
-    ``vp``/``vq`` are ``(..., M, 3)`` direction sets. Kabsch-style SVD with
-    the determinant fix.
+    ``vp``/``vq`` are ``(..., M, 3)`` direction sets. Solved via the
+    quaternion Horn path (solvers/absolute_orientation.py::
+    horn_rotation_directions): mathematically the same optimum as SVD
+    Procrustes restricted to proper rotations, but SVD-free — a batched
+    3x3 SVD costs ~27 us per matrix on TPU (the trap that made P3P 100%
+    of the 2d3d estimate; BASELINE.md "Measured — rounds 3+4"), which on
+    the K-hypothesis RANSAC path here would be tens of ms per estimate.
     """
-    if weights is None:
-        weights = jnp.ones(vp.shape[:-1], vp.dtype)
-    H = jnp.einsum("...ni,...nj->...ij", vp * weights[..., None], vq)
-    U, _, Vt = jnp.linalg.svd(H)
-    V = jnp.swapaxes(Vt, -1, -2)
-    Ut = jnp.swapaxes(U, -1, -2)
-    d = jnp.linalg.det(V @ Ut)
-    D = jnp.zeros_like(H).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0)
-    D = D.at[..., 2, 2].set(d)
-    return V @ D @ Ut
+    from rgbd_pose_estimation_tpu.solvers.absolute_orientation import (
+        horn_rotation_directions,
+    )
+
+    return horn_rotation_directions(vp, vq, weights)
 
 
 def ao_2pt_normals(p: jnp.ndarray, q: jnp.ndarray, np_: jnp.ndarray, nq: jnp.ndarray):

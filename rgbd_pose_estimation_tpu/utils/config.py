@@ -74,13 +74,14 @@ class IcpConfig:
     # the classic KinectFusion loop). Association IS the step cost (the
     # index-rate-bound gather above), while fixed-correspondence GN steps
     # are pure elementwise math — standard ICP alternation permits several
-    # minimize steps per association. Measured (BASELINE.md "Measured —
-    # round 4", tools/reassoc_exp.py): see that table for the k-sweep and
-    # the recorded keep/revert decision. Limitation: under icp_track_batch's
-    # vmap (loop-closure verification) the lax.cond lowers to a select that
-    # executes BOTH branches, so k>1 saves nothing on that batched path —
-    # correctness is unaffected; the single-track odometry path gets the
-    # full savings.
+    # minimize steps per association. The skip is a TRACE-time decision
+    # (icp/dense.py statically unrolls the k-pattern): a lax.cond
+    # formulation lowered to a select that executed both branches and
+    # saved nothing (both experiments recorded in BASELINE.md "Measured —
+    # rounds 3+4"). Measured with the static unroll, config-3 hard mode:
+    # k=2 → 1.38 ms/track (from 1.67) and k=3 → 1.14 ms, at equal-or-
+    # better ATE on every seed tested; config-3 ships k=2. Because the
+    # unroll is static, the savings survive icp_track_batch's vmap too.
     reassoc_every: int = 1
 
 

@@ -9,7 +9,8 @@ minimize steps per association (``IcpConfig.reassoc_every``).
 This script measures, on the 10-frame 640x480 hard-mode (Kinect-degraded
 handheld) sequence at the config-3 stride:  ATE RMSE + in-program track
 time for reassoc_every in {1, 2, 3}.  Keep/revert decision and the table go
-to BASELINE.md "Measured — rounds 3+4" (recorded: NULL result, k=1 kept).
+to BASELINE.md "Measured — rounds 3+4" (recorded: cond-era null result
+diagnosed, trace-time skip landed, config-3 ships k=2).
 
 Run: python tools/reassoc_exp.py   (TPU; quiet box)
 """
