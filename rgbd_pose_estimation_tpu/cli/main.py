@@ -542,6 +542,12 @@ class _LazyFrames:
         return len(self._cache)
 
     def _get(self, i: int):
+        if not isinstance(i, (int, np.integer)):
+            raise TypeError(
+                f"_LazyFrames supports integer indexing only, got {type(i)}"
+            )
+        if i < 0:  # full list semantics (Sequence contract)
+            i += self._n
         if not 0 <= i < self._n:
             raise IndexError(i)
         if i not in self._cache:

@@ -87,18 +87,28 @@ def _exchange_chunks(mesh, ranges, local, local_results):
     max_len = max(e - s for s, e in ranges)
     pack = np.zeros((C, max_len, 17), np.float32)
     for c, res in zip(local, local_results):
-        poses, kfs = res if isinstance(res, tuple) else (res, ())
         L = ranges[c][1] - ranges[c][0]
+        if isinstance(res, tuple):
+            poses, kfs = res
+            for k in kfs:
+                pack[c, k, 16] = 1.0
+        else:
+            # Poses-only runner: mark the kf channel with a sentinel so the
+            # None is preserved across the exchange (return_keyframes=True
+            # must still raise, same as single-process).
+            poses = res
+            pack[c, :L, 16] = -1.0
         pack[c, :L, :16] = np.asarray(poses, np.float32).reshape(L, 16)
-        for k in kfs:
-            pack[c, k, 16] = 1.0
     total = allgather_hosts(mesh, pack).sum(axis=0)
     out = []
     for c, (s, e) in enumerate(ranges):
         L = e - s
         poses = total[c, :L, :16].reshape(L, 4, 4)
-        kfs = [int(k) for k in np.nonzero(total[c, :L, 16])[0]]
-        out.append((poses, kfs))
+        if L and total[c, 0, 16] < 0:
+            out.append(poses)  # owner ran a poses-only runner
+        else:
+            kfs = [int(k) for k in np.nonzero(total[c, :L, 16] > 0)[0]]
+            out.append((poses, kfs))
     return out
 
 

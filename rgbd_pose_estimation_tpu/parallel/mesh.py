@@ -169,29 +169,17 @@ def allgather_hosts(mesh: Mesh, x) -> np.ndarray:
     axis — so every process can run the identical global stitch.
 
     Unlike :func:`put_global` (which requires SPMD-identical host copies),
-    the rows here genuinely DIFFER per process: the global array is built
-    axis-0-sharded over the host axis with each process supplying its own
-    row, then gathered via :func:`fetch_global`.
+    the rows here genuinely DIFFER per process; the gather itself is
+    ``jax.experimental.multihost_utils.process_allgather`` (stack
+    semantics). ``mesh`` is accepted for call-site symmetry with the other
+    helpers but the collective runs over the global device set.
     """
-    from jax.sharding import NamedSharding
-    from jax.sharding import PartitionSpec as P
-
     x = np.ascontiguousarray(x)
-    procs = jax.process_count()
-    if procs == 1:
+    if jax.process_count() == 1:
         return x[None]
-    host_axis = mesh.axis_names[0]
-    if mesh.shape[host_axis] != procs:
-        raise ValueError(
-            f"allgather_hosts needs the mesh host axis ({host_axis}="
-            f"{mesh.shape[host_axis]}) to span the {procs} processes — "
-            "build the mesh with runtime_mesh()"
-        )
-    sharding = NamedSharding(mesh, P(host_axis))
-    garr = jax.make_array_from_callback(
-        (procs,) + x.shape, sharding, lambda idx: x[None]
-    )
-    return fetch_global(mesh, P(host_axis), garr)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x))
 
 
 def distributed_init(
