@@ -327,10 +327,12 @@ def test_two_process_cmd_ba_matches_single_process(tmp_path):
     # Two processes x 1 local device -> (2, 1) mesh from runtime topology.
     coord = f"127.0.0.1:{_free_port()}"
     multi_out = tmp_path / "multi.txt"
+    met_paths = [tmp_path / f"ba{pid}.jsonl" for pid in range(2)]
     procs = [
         subprocess.Popen(
             base + ["--out", str(multi_out), "--coordinator", coord,
-                    "--num-processes", "2", "--process-id", str(pid)],
+                    "--num-processes", "2", "--process-id", str(pid),
+                    "--metrics", str(met_paths[pid])],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for pid in range(2)
@@ -349,6 +351,8 @@ def test_two_process_cmd_ba_matches_single_process(tmp_path):
             pytest.skip(f"runtime lacks CPU multi-process support: {err[-200:]}")
         assert rc == 0, err[-4000:]
 
+    import json
+
     import numpy as np
 
     a = np.loadtxt(single_out)
@@ -357,3 +361,9 @@ def test_two_process_cmd_ba_matches_single_process(tmp_path):
     # Same trajectory (both runs optimize the identical blocked problem on
     # a size-2 mesh; only the axis split differs).
     np.testing.assert_allclose(a, b, atol=1e-4)
+    # The blocked layout came from the DEVICE relayout (the production
+    # all_to_all path) and dropped nothing, on both processes.
+    for mp in met_paths:
+        recs = [json.loads(line) for line in open(mp)]
+        blocked = next(r for r in recs if r.get("ba_layout") == "blocked")
+        assert blocked["reshard_dropped"] == 0

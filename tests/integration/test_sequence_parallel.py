@@ -32,6 +32,35 @@ class TestChunking:
         r = chunk_ranges(5, 1, 2)
         assert r == [(0, 5)]
 
+    def test_local_chunk_indices_partition(self):
+        from rgbd_pose_estimation_tpu.models.sequence_parallel import (
+            local_chunk_indices,
+        )
+
+        # Every (chunks, procs) partition is a disjoint contiguous cover.
+        for C in (1, 2, 3, 7, 16):
+            for P in (1, 2, 3, 5, 8):
+                got = [local_chunk_indices(C, P, p) for p in range(P)]
+                flat = [c for part in got for c in part]
+                assert flat == list(range(C)), (C, P, got)
+                # Balanced: sizes differ by at most 1.
+                sizes = [len(part) for part in got]
+                assert max(sizes) - min(sizes) <= 1, (C, P, sizes)
+
+    def test_exchange_preserves_poses_only_marker(self):
+        # A poses-only runner must still raise under return_keyframes=True
+        # after the multi-process exchange path (single-process here: the
+        # exchange helper is exercised directly).
+        from rgbd_pose_estimation_tpu.models.sequence_parallel import (
+            _exchange_chunks,
+        )
+
+        ranges = [(0, 5), (3, 8)]
+        poses = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+        out = _exchange_chunks(None, ranges, [0, 1], [poses, (poses, [0, 2])])
+        assert not isinstance(out[0], tuple)  # marker survived
+        assert isinstance(out[1], tuple) and out[1][1] == [0, 2]
+
 
 class TestSequenceParallel:
     def test_matches_ground_truth(self):
