@@ -94,13 +94,15 @@ class PoseGraphConfig:
     loop_sigma: float = 0.05  # loop-closure information weighting
     odom_sigma: float = 0.01
     # Linear solver for the block normal equations (SURVEY.md §3.3):
-    # "dense" Cholesky is exact and fastest up to a few hundred keyframes;
-    # "pcg" is matrix-free block-Jacobi-preconditioned CG over the edge
-    # list — O(E) per matvec, no (6K)² materialization — for long
-    # sequences. "auto" picks dense at K ≤ dense_max_nodes.
+    # "dense" Cholesky is exact; "pcg" is matrix-free block-Jacobi-
+    # preconditioned CG over the edge list — O(E) per matvec, no (6K)²
+    # materialization. "auto" picks dense at K ≤ dense_max_nodes; the
+    # crossover measured on the chip (BASELINE.md rounds 3+4: 10-GN-iter
+    # chain+loops graphs) is between 128 kf (dense 5.5 ms vs pcg 9.5) and
+    # 256 kf (dense 21.0 vs pcg 14.3); at 512 kf pcg is 2.2x faster.
     solver: str = "auto"
     pcg_iters: int = 100
-    dense_max_nodes: int = 512
+    dense_max_nodes: int = 192
 
 
 @dataclasses.dataclass(frozen=True)
