@@ -97,6 +97,29 @@ def main():
         jax.block_until_ready(r2.pose)
     dt_sync = (time.perf_counter() - t0) / 5
 
+    # 2d3d (P3P) estimator at the config-2 class shape — the path the
+    # round-4 Horn-P3P fix took from 55 ms to sub-ms (BASELINE.md).
+    from rgbd_pose_estimation_tpu.core.lie import se3_apply
+    from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_2d3d
+
+    cfg2 = RansacConfig(num_hypotheses=2048, threshold=0.01)
+    pts = p + jnp.asarray([0.0, 0.0, 4.0])
+    obs_full = se3_apply(T_gt[None], pts[None])[0]
+    obs = obs_full[:, :2] / obs_full[:, 2:3]
+    r2 = estimate_pose_2d3d(jax.random.key(3), pts[:1024], obs[:1024], cfg2)
+    jax.block_until_ready(r2.pose)
+    err2 = float(jnp.abs(r2.pose - T_gt).max())
+    assert err2 < 0.05, f"2d3d benchmark estimator inaccurate: err={err2}"
+
+    def est2_step(pc):
+        r = estimate_pose_2d3d(jax.random.key(3), pc, obs[:1024], cfg2)
+        return pc + 1e-30 * r.score
+
+    dt_2d3d = min(
+        timeit_scan(est2_step, pts[:1024], n1=2, n2=12, min_delta_s=8e-3)
+        for _ in range(3)
+    )
+
     # Second north-star kernel: dense-ICP track at full 640x480, in-program
     # (3-level pyramid, (5,7,10) GN iterations, packed nearest association),
     # at the dense and the config-3 production stride settings.
@@ -146,6 +169,8 @@ def main():
                     "ms_per_estimate_pipelined": round(dt_pipe * 1000.0, 3),
                     "ms_per_estimate_sync": round(dt_sync * 1000.0, 3),
                     "pose_max_err": round(err, 5),
+                    "ms_estimate_2d3d_p3p_8192poses": round(dt_2d3d * 1e3, 3),
+                    "pose_max_err_2d3d": round(err2, 5),
                     "icp_track_640x480_ms_dense": round(icp_ms["dense"], 2),
                     "icp_track_640x480_fps_dense": round(
                         1000.0 / icp_ms["dense"], 1
