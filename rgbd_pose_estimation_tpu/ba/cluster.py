@@ -41,6 +41,12 @@ class BlockedLayout(typing.NamedTuple):
     obs_cap: int  # observations per shard (padded)
     num_landmarks: int  # original L
     num_observations: int  # original O
+    # Scatter-free reduction tables, one row per shard (host numpy; see
+    # ba.schur.make_reduction_slots): (n_shards, C, capC) camera slots and
+    # (n_shards, block_size, capL) landmark slots into each shard's local
+    # obs rows, sentinel = obs_cap. None when too imbalanced to pay off.
+    cam_slots: object = None
+    lm_slots: object = None
 
 
 def cluster_landmarks(
@@ -396,6 +402,33 @@ def block_ba_problem_device(
     # Device `dropped` counts every overflowing row (pads included).
     dropped_host = int((~ok).sum())
 
+    # Per-shard scatter-free reduction tables (ba.schur.make_reduction_slots
+    # semantics, common static cap across shards; pad rows keep index 0 and
+    # contribute w=0 terms, identical to the segment_sum path).
+    rows = n * cap
+    op = obs_perm.reshape(n, rows)
+    vr = op >= 0
+    lcam = np.zeros((n, rows), np.int64)
+    llm = np.zeros((n, rows), np.int64)
+    lcam[vr] = cam_idx[op[vr]]
+    llm[vr] = local_of_lm[lm_idx[op[vr]]]
+
+    def _shard_slots(ids, nseg):
+        from rgbd_pose_estimation_tpu.ba.schur import make_reduction_slots
+
+        per = [make_reduction_slots(ids[s], nseg, max_inflation=1e9)
+               for s in range(n)]
+        capm = max(t.shape[1] for t in per)
+        if nseg * capm > 1.6 * rows + 8 * nseg:
+            return None  # too imbalanced — scatter path wins
+        out = np.full((n, nseg, capm), rows, np.int32)
+        for s, t in enumerate(per):
+            out[s, :, : t.shape[1]] = t
+        return out
+
+    cam_slots = _shard_slots(lcam, C)
+    lm_slots = _shard_slots(llm, Lb)
+
     # Non-observation fields become GLOBAL arrays too (poses/priors
     # replicated, blocked points landmark-sharded), so the returned problem
     # feeds ba_solve_blocked/ba_step_blocked directly even when the mesh
@@ -426,6 +459,8 @@ def block_ba_problem_device(
         obs_cap=n * cap,
         num_landmarks=L,
         num_observations=O,
+        cam_slots=cam_slots,
+        lm_slots=lm_slots,
     )
     stats.update({
         "block_size": Lb,

@@ -108,7 +108,47 @@ def _huber_w(r, delta):
     return jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12))
 
 
-def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
+def make_reduction_slots(idx, n: int, max_inflation: float = 1.6):
+    """Host-side slot table turning ``segment_sum`` into gather + free sum.
+
+    TPU scatter is index-rate-bound at ~0.14 G idx/s (BASELINE.md rounds
+    3+4 — HALF the gather unit's rate), and the BA CG matvec does two
+    segment_sums per iteration, which made ``ba_step`` scatter-bound at
+    ~1.1 M obs/s. ``slots[i]`` lists the observation rows of segment ``i``
+    (padded with the sentinel ``len(idx)``); the reduction then becomes
+    ``x_padded[slots].sum(1)`` — a gather (0.3–0.7 G idx/s) plus a
+    bucketed sum that is pure streaming (~free). Measured at O=98k:
+    camera side 687 → 264 µs, landmark side 689 → ~180 µs at inflation 1.
+
+    Returns ``None`` when the padded table would exceed ``max_inflation``
+    × O indices (pathological imbalance — scatter wins there), letting
+    callers fall back. Host-only: ``idx`` must be a concrete array.
+    """
+    import numpy as np
+
+    idx = np.asarray(idx)
+    O = len(idx)
+    cnt = np.bincount(idx, minlength=n)
+    cap = int(cnt.max()) if O else 1
+    if n * cap > max_inflation * max(O, 1):
+        return None
+    order = np.argsort(idx, kind="stable")
+    slot = np.full((n, cap), O, np.int32)
+    pos = np.searchsorted(idx[order], np.arange(n))
+    for i in range(n):
+        k = cnt[i]
+        slot[i, :k] = order[pos[i] : pos[i] + k]
+    return slot
+
+
+def _seg_by_slots(x, slots):
+    """``segment_sum(x, idx, n)`` given the slot table for ``idx``."""
+    pad = jnp.zeros((1,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad])[slots].sum(axis=1)
+
+
+def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None,
+            cam_slots=None, lm_slots=None):
     """One damped GN step with Schur elimination + matrix-free CG.
 
     ``psum``: optional reduction applied after camera-indexed (and global)
@@ -121,6 +161,12 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
     complete locally — pass identity and the O(L) collective disappears:
     per CG matvec only the (C, 6) camera vector rides the mesh
     (SURVEY.md §3.4 "landmark blocks local, reduced camera system psum'd").
+
+    ``cam_slots``/``lm_slots``: optional :func:`make_reduction_slots`
+    tables; when given, the camera/landmark reductions run scatter-free
+    (gather + bucketed sum — TPU scatter is half the gather unit's index
+    rate). Same math, different summation order (f32-reduction-order
+    deviation only).
     """
     if psum is None:
         psum = lambda x: x
@@ -140,9 +186,13 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
     wJl = Jl * w[:, None, None]
 
     def seg_cam(x):  # (O, ...) → (C, ...)
+        if cam_slots is not None:
+            return psum(_seg_by_slots(x, cam_slots))
         return psum(jax.ops.segment_sum(x, prob.cam_idx, num_segments=C))
 
     def seg_lm(x):  # (O, ...) → (L, ...)
+        if lm_slots is not None:
+            return psum_lm(_seg_by_slots(x, lm_slots))
         return psum_lm(jax.ops.segment_sum(x, prob.lm_idx, num_segments=L))
 
     U = seg_cam(jnp.einsum("oai,oaj->oij", wJc, Jc))  # (C, 6, 6)
@@ -228,15 +278,38 @@ def ba_step(prob: BAProblem, cfg: BAConfig, psum=None, psum_lm=None):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig()):
-    """Run ``cfg.outer_iters`` damped GN steps; returns (problem, costs)."""
-
+def _ba_solve_impl(prob, cfg, cam_slots, lm_slots):
     def body(p, _):
-        p2, cost = ba_step(p, cfg)
+        p2, cost = ba_step(p, cfg, cam_slots=cam_slots, lm_slots=lm_slots)
         return p2, cost
 
-    out, costs = jax.lax.scan(body, prob, None, length=cfg.outer_iters)
-    return out, costs
+    return jax.lax.scan(body, prob, None, length=cfg.outer_iters)
+
+
+def ba_solve(prob: BAProblem, cfg: BAConfig = BAConfig(), slots: bool = True):
+    """Run ``cfg.outer_iters`` damped GN steps; returns (problem, costs).
+
+    ``slots=True`` (default) builds scatter-free reduction tables on the
+    host when the index arrays are concrete and well-balanced
+    (:func:`make_reduction_slots`) — measured ~2x on the whole solve at
+    config-5 sizes; pass False (or call under jit with traced indices) to
+    keep the segment_sum path.
+    """
+    cam_slots = lm_slots = None
+    if slots:
+        try:  # concrete index arrays only — traced (under an outer jit)
+            import numpy as np  # or non-addressable arrays keep scatter.
+
+            ci = np.asarray(prob.cam_idx)
+            li = np.asarray(prob.lm_idx)
+        except Exception:
+            ci = li = None
+        if ci is not None:
+            cs = make_reduction_slots(ci, int(prob.poses.shape[0]))
+            ls = make_reduction_slots(li, int(prob.points.shape[0]))
+            cam_slots = None if cs is None else jnp.asarray(cs)
+            lm_slots = None if ls is None else jnp.asarray(ls)
+    return _ba_solve_impl(prob, cfg, cam_slots, lm_slots)
 
 
 def with_odometry_priors(

@@ -405,8 +405,17 @@ def cmd_ba(args):
     # runs/resumes.
     blocked = mesh is not None and args.ba_layout == "blocked"
     layout = None
+    ba_slots = None
     if blocked:
         prob, layout, cstats, dropped = block_ba_problem_device(mesh, prob)
+        if layout.cam_slots is not None and layout.lm_slots is not None:
+            from rgbd_pose_estimation_tpu.parallel.mesh import put_global
+
+            sspec = P(tuple(mesh.axis_names))
+            ba_slots = (
+                put_global(mesh, sspec, layout.cam_slots),
+                put_global(mesh, sspec, layout.lm_slots),
+            )
         dropped = int(fetch_global(mesh, P(), dropped))
         if dropped:
             raise RuntimeError(
@@ -449,7 +458,7 @@ def cmd_ba(args):
     for it in range(start_iter, cfg.ba.outer_iters):
         t0 = time.perf_counter()
         if blocked:
-            prob, cost = ba_step_blocked(mesh, prob, cfg.ba)
+            prob, cost = ba_step_blocked(mesh, prob, cfg.ba, slots=ba_slots)
         elif mesh is not None:
             prob, cost = ba_step_sharded(mesh, prob, cfg.ba)
         else:

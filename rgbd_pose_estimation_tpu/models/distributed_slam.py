@@ -230,7 +230,18 @@ def distributed_slam(
                 f"reshard_obs_to_blocks dropped {dropped} observations — "
                 "per-(src,dst) capacity underestimated"
             )
-        out, costs = ba_solve_blocked(mesh, blocked, cfg.ba)
+        # Scatter-free BA reductions: per-shard slot tables ride the same
+        # axis-0 sharding as the bucketed observations.
+        from rgbd_pose_estimation_tpu.parallel.mesh import put_global
+
+        slots = None
+        if layout.cam_slots is not None and layout.lm_slots is not None:
+            sspec = PSpec(tuple(mesh.axis_names))
+            slots = (
+                put_global(mesh, sspec, layout.cam_slots),
+                put_global(mesh, sspec, layout.lm_slots),
+            )
+        out, costs = ba_solve_blocked(mesh, blocked, cfg.ba, slots=slots)
         kf_poses = fetch_global(mesh, PSpec(), out.poses)
         costs = fetch_global(mesh, PSpec(), costs)
         metrics.log(

@@ -99,7 +99,7 @@ def ba_step_sharded(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
     return f(prob)
 
 
-def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
+def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig, slots=None):
     """Landmark-block-sharded Schur BA step (the north-star layout).
 
     ``prob`` must be the output of :func:`ba.cluster.block_ba_problem`:
@@ -109,6 +109,11 @@ def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
     local — ``psum_lm`` is identity — and the only collective per CG
     matvec is the (C, 6) reduced camera vector (SURVEY.md §3.4; round-1
     verdict item 1: payload independent of L).
+
+    ``slots``: optional per-shard ``(cam_slots, lm_slots)`` scatter-free
+    reduction tables, each ``(n_shards, ...)`` and sharded on axis 0
+    (built by ``ba.cluster.block_ba_problem_device``; see
+    ``ba.schur.make_reduction_slots``).
     """
     axes = mesh.axis_names
     n = mesh.size
@@ -116,11 +121,13 @@ def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
     assert prob.cam_idx.shape[0] % n == 0, "bucket observations per shard"
     sl = SpecLayout.for_mesh(mesh)
 
-    def body(p):
+    def body(p, cs, ls):
         return ba_step(
             p, cfg,
             psum=lambda x: jax.lax.psum(x, axes),
             psum_lm=lambda x: x,
+            cam_slots=None if cs is None else cs[0],
+            lm_slots=None if ls is None else ls[0],
         )
 
     spec = sl.ba_problem(
@@ -128,26 +135,36 @@ def ba_step_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
         has_obs_z=prob.obs_z is not None,
         has_prior=prob.prior_i is not None,
     )
-    f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
-    return f(prob)
+    cs, ls = slots if slots is not None else (None, None)
+    sspec = P(axes)
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, None if cs is None else sspec,
+                  None if ls is None else sspec),
+        out_specs=(spec, P()),
+    )
+    return f(prob, cs, ls)
 
 
-def ba_solve_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
+def ba_solve_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig, slots=None):
     """``cfg.outer_iters`` blocked GN steps in ONE compiled program.
 
     The ``lax.scan`` lives inside the shard_map body so the whole solve is
     a single XLA program per device — no host round-trip between outer
-    iterations. Returns ``(problem, costs)`` like ``ba_solve``.
+    iterations. Returns ``(problem, costs)`` like ``ba_solve``. ``slots``
+    as in :func:`ba_step_blocked`.
     """
     axes = mesh.axis_names
     sl = SpecLayout.for_mesh(mesh)
 
-    def body(p):
+    def body(p, cs, ls):
         def inner(pp, _):
             p2, cost = ba_step(
                 pp, cfg,
                 psum=lambda x: jax.lax.psum(x, axes),
                 psum_lm=lambda x: x,
+                cam_slots=None if cs is None else cs[0],
+                lm_slots=None if ls is None else ls[0],
             )
             return p2, cost
 
@@ -158,8 +175,15 @@ def ba_solve_blocked(mesh: Mesh, prob: BAProblem, cfg: BAConfig):
         has_obs_z=prob.obs_z is not None,
         has_prior=prob.prior_i is not None,
     )
-    f = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, P()))
-    return f(prob)
+    cs, ls = slots if slots is not None else (None, None)
+    sspec = P(axes)
+    f = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec, None if cs is None else sspec,
+                  None if ls is None else sspec),
+        out_specs=(spec, P()),
+    )
+    return f(prob, cs, ls)
 
 
 def reshard_obs_to_blocks(mesh: Mesh, fields: dict, dest: jnp.ndarray, cap: int):
