@@ -73,11 +73,24 @@ def main():
     # compute, but the axon tunnel/chip occasionally enters a degraded
     # state that inflates every measurement ~1.3-2x for minutes at a time
     # (BASELINE.md rounds 3+4, bench runs 4-5) — the minimum is the
-    # chip's actual capability.
-    dt_prog = min(
-        timeit_scan(est_step, p, n1=2, n2=12, min_delta_s=8e-3)
-        for _ in range(3)
-    )
+    # chip's actual capability. All samples are published in ``detail``
+    # so run-to-run variance stays visible next to the min (round-4
+    # advisor finding); a sample the resolution guard rejects
+    # (tools/roofline.py::timeit_scan) is dropped rather than published.
+    def best_of(step_fn, x, n: int = 3):
+        samples = []
+        for _ in range(n):
+            try:
+                samples.append(
+                    timeit_scan(step_fn, x, n1=2, n2=12, min_delta_s=8e-3)
+                )
+            except RuntimeError:
+                continue
+        if not samples:
+            raise RuntimeError("every timing sample fell below resolution")
+        return min(samples), [round(s * 1e3, 3) for s in samples]
+
+    dt_prog, prog_samples = best_of(est_step, p)
     hyp_per_s = cfg.num_hypotheses / dt_prog
 
     # Context: pipelined dispatch (one sync at the end) and full-sync modes.
@@ -115,10 +128,7 @@ def main():
         r = estimate_pose_2d3d(jax.random.key(3), pc, obs[:1024], cfg2)
         return pc + 1e-30 * r.score
 
-    dt_2d3d = min(
-        timeit_scan(est2_step, pts[:1024], n1=2, n2=12, min_delta_s=8e-3)
-        for _ in range(3)
-    )
+    dt_2d3d, samples_2d3d = best_of(est2_step, pts[:1024])
 
     # Second north-star kernel: dense-ICP track at full 640x480, in-program
     # (3-level pyramid, (5,7,10) GN iterations, packed nearest association),
@@ -152,8 +162,14 @@ def main():
             T2, _ = body(cam, _icfg, T, _fb, _fa)
             return T2
 
-        s = timeit_scan(track_step, jnp.eye(4), n1=2, n2=12, min_delta_s=8e-3)
+        s, _ = best_of(track_step, jnp.eye(4), n=2)
         icp_ms[name] = s * 1000.0
+
+    # Belt-and-braces on top of the timeit_scan resolution guard: nothing
+    # non-positive can ever reach the published record (round-4 Weak #1).
+    for label, val in [("in_program", dt_prog), ("2d3d", dt_2d3d),
+                       *((k, v) for k, v in icp_ms.items())]:
+        assert val > 0, f"non-positive time for {label}: {val}"
 
     print(
         json.dumps(
@@ -166,6 +182,8 @@ def main():
                     "num_hypotheses": cfg.num_hypotheses,
                     "num_correspondences": n_corr,
                     "ms_per_estimate_in_program": round(dt_prog * 1000.0, 3),
+                    "ms_in_program_samples": prog_samples,
+                    "ms_2d3d_samples": samples_2d3d,
                     "ms_per_estimate_pipelined": round(dt_pipe * 1000.0, 3),
                     "ms_per_estimate_sync": round(dt_sync * 1000.0, 3),
                     "pose_max_err": round(err, 5),

@@ -203,6 +203,14 @@ def score_poses_3d3d_quad(T, p, q, threshold: float, precision=None,
     dot — a faithful CPU emulation of the TPU's default bf16 MXU ingest,
     used by the finalist-window stress test to reproduce the fast-score
     error channel off-TPU.
+
+    NOTE (round-5 anatomy audit): XLA fuses the clip+reduce epilogue into
+    this dot on TPU — the (K, N) residual matrix is NOT materialized in
+    HBM, and this jnp form measures 101 us at K=32768, N=2048. The
+    hand-written Pallas twin (:func:`score_poses_3d3d_quad_fused`)
+    measured 147 us (its 128-step grid of 24-deep matmuls underutilizes
+    the MXU vs XLA's own tiling) and was therefore NOT adopted for
+    production; it remains as the measured alternative + parity fixture.
     """
     feat, pn = _quad_features(T, p, q)
     if operand_dtype is not None:
@@ -218,7 +226,72 @@ def score_poses_3d3d_quad(T, p, q, threshold: float, precision=None,
     return jnp.sum(jnp.clip(e, 0.0, tau2), axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "top", "impl"))
+def _quad_fused_kernel(feat_ref, pn_ref, msac_ref, *, tau2):
+    # feat: (KT, 24) f32, pn: (24, N) f32 — cast to bf16 at the MXU ingest
+    # (the same rounding the jnp twin's default-precision dot applies), dot
+    # with f32 accumulation, clip+reduce WITHOUT leaving VMEM.
+    f = feat_ref[:].astype(jnp.bfloat16)
+    m = pn_ref[:].astype(jnp.bfloat16)
+    e = jnp.dot(f, m, preferred_element_type=jnp.float32)  # (KT, N)
+    msac_ref[:, :] = jnp.sum(jnp.clip(e, 0.0, tau2), axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "impl"))
+def score_poses_3d3d_quad_fused(
+    T: jnp.ndarray, p: jnp.ndarray, q: jnp.ndarray, threshold: float,
+    impl: str = "auto",
+):
+    """Pallas MXU quad-form MSAC ranking with a fused clip+sum epilogue.
+
+    Same math as :func:`score_poses_3d3d_quad` (bf16-ingested MXU matmul of
+    the 17-feature bilinear form) with each (KT, N) tile reduced in VMEM.
+    MEASURED AND NOT ADOPTED (round-5, BASELINE.md): XLA already fuses the
+    jnp twin's epilogue (101 us at K=32768, N=2048) while this kernel's
+    128-step grid of 24-deep matmuls runs 147 us — the kernel is kept as
+    the measured alternative and a parity fixture, not the production
+    path. The real round-4 scorer wall was elsewhere: a (K, 4, 4)
+    row-gather layout tax (see :func:`best_pose_3d3d`'s layout rule). The
+    feature axis is zero-padded 17 → 24 for sublane alignment (zero
+    features add exactly nothing to the bilinear form). Requires
+    K % 256 == 0 and N % 128 == 0; other shapes (and non-TPU backends)
+    take the jnp twin.
+    """
+    K, N = T.shape[0], p.shape[0]
+    if impl == "reference" or (
+        impl == "auto" and not (_use_pallas() and K % _KT == 0 and N % 128 == 0)
+    ):
+        return score_poses_3d3d_quad(T, p, q, threshold)
+    feat, pn = _quad_features(T, p, q)
+    feat = jnp.pad(feat, ((0, 0), (0, 24 - feat.shape[1])))
+    pn = jnp.pad(pn, ((0, 24 - pn.shape[0]), (0, 0)))
+    kernel = functools.partial(
+        _quad_fused_kernel, tau2=threshold * threshold
+    )
+    msac = pl.pallas_call(
+        kernel,
+        grid=(K // _KT,),
+        in_specs=[
+            pl.BlockSpec((_KT, 24), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((24, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_KT, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 24 * K * N + 2 * K * N,
+            bytes_accessed=4 * (24 * K + 24 * N + K),
+            transcendentals=0,
+        ),
+        interpret=impl == "interpret",
+    )(feat, pn)
+    return msac[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold", "top", "impl", "selection", "return_pose"),
+)
 def best_pose_3d3d(
     T: jnp.ndarray,
     p: jnp.ndarray,
@@ -226,18 +299,47 @@ def best_pose_3d3d(
     threshold: float,
     top: int = 0,
     impl: str = "auto",
+    selection: str = "group",
+    return_pose: bool = False,
 ):
     """Select the best of K poses: fast ranking pass + exact finalist pass.
 
     Two-stage design (BASELINE.md "Measured — round 3" estimator anatomy):
-    all K hypotheses are ranked by :func:`score_poses_3d3d_quad` on the MXU
-    (~5x the VPU kernel's speed), then the ``top`` finalists are re-scored
-    by the exact jnp twin (``top``xN is negligible) and the final argmin is
-    taken over exact scores. The true winner is recovered whenever it
-    ranks inside the top-``top`` under ~1e-2-relative fast scores; if more
-    than ``top`` hypotheses tie within that band they are interchangeable
-    for the refit that follows (the engine re-derives inliers from the
-    winner exactly).
+    all K hypotheses are ranked by the MXU quad form (XLA fuses the
+    clip+reduce epilogue into the matmul — measured 101 us at K=32768,
+    N=2048; the hand-written Pallas twin
+    :func:`score_poses_3d3d_quad_fused` measured 147 us and was NOT
+    adopted), then the ``top`` finalists are re-scored by the exact jnp
+    twin (``top``xN is negligible) and the final argmin is taken over
+    exact scores. The true winner is recovered whenever it survives
+    finalist ``selection`` under ~1e-2-relative fast scores; if more
+    near-ties exist than finalists they are interchangeable for the refit
+    that follows (the engine re-derives inliers from the winner exactly).
+
+    **Layout rule (round-5 anatomy finding, BASELINE.md):** rows of the
+    rank-3 ``(K, 4, 4)`` pose tensor are NEVER gathered here — any
+    row-gather consumer of ``T`` forces XLA to materialize the tensor in
+    its canonical tiled layout (4→8 x 4→128 padding), a measured ~540 us
+    tax at K=32768 that once dominated the whole scorer. Finalist poses
+    are instead reconstructed EXACTLY from rows of the (K, 17) quad
+    feature matrix (R is columns 0:9 verbatim; t = -0.5 x columns 12:15 —
+    both exact in f32), whose row-gather is ~18 us. ``return_pose=True``
+    additionally returns the winning (4, 4) pose from the same
+    reconstruction so callers need not gather ``T[best]`` themselves.
+
+    ``selection`` (round-4 verdict Weak #6 probe, measured on-chip:
+    top_k 21.1 us / approx_min_k 4.7 us / group_argmin 0.6 us at
+    K=32768):
+
+    - ``"group"`` (default) — reshape the (K,) fast scores into ``top``
+      contiguous groups and take one argmin per group: sort-free, always
+      contains the global fast argmin, and every finalist is within the
+      fast-score noise of the winner exactly when it matters (the
+      adversarial stress test passes the same post-refit contract as
+      top_k);
+    - ``"approx"`` — ``lax.approx_min_k`` (TPU bucketed top-k);
+    - ``"topk"`` — exact ``lax.top_k`` (also the fallback when K is not
+      divisible by ``top``).
 
     ``top=0`` (default) scales the finalist window with K —
     ``max(16, K // 1024)`` — so the exact re-score band widens as the
@@ -249,8 +351,9 @@ def best_pose_3d3d(
     exact inlier refit erases the gap (refit poses agree to <1e-3).
 
     NaN scores (degenerate minimal sets) rank last in both passes.
-    Returns ``(best_index, best_exact_msac)``. ``impl="exact"`` (and any
-    non-TPU backend) bypasses the fast pass entirely.
+    Returns ``(best_index, best_exact_msac)`` — plus the winning pose
+    when ``return_pose=True``. ``impl="exact"`` (and any non-TPU backend)
+    bypasses the fast pass entirely.
     """
     K = T.shape[0]
     if top <= 0:
@@ -260,24 +363,50 @@ def best_pose_3d3d(
         msac, _ = score_poses_3d3d(T, p, q, threshold, impl="auto")
         msac = jnp.where(jnp.isnan(msac), jnp.inf, msac)
         best = jnp.argmin(msac)
+        if return_pose:
+            return best, msac[best], T[best]
         return best, msac[best]
     # impl == "two_stage" forces the fast-rank + exact-finalist structure on
     # any backend; off-TPU the fast operands are rounded to bf16 so the
     # ranking carries the same ~1e-2 error channel as the TPU MXU ingest.
     emulate = impl == "two_stage" and jax.default_backend() != "tpu"
-    fast = score_poses_3d3d_quad(
-        T, p, q, threshold,
-        operand_dtype=jnp.bfloat16 if emulate else None,
+    feat, pn = _quad_features(T, p, q)
+    df, dm = (feat, pn) if not emulate else (
+        feat.astype(jnp.bfloat16), pn.astype(jnp.bfloat16)
     )
+    e = jnp.dot(df, dm, preferred_element_type=jnp.float32)
+    tau2 = threshold * threshold
+    fast = jnp.sum(jnp.clip(e, 0.0, tau2), axis=1)
     fast = jnp.where(jnp.isnan(fast), jnp.inf, fast)
-    _, cand = jax.lax.top_k(-fast, top)  # (top,) indices of smallest scores
+    if selection == "group" and K % top == 0:
+        g = fast.reshape(top, K // top)
+        cand = jnp.argmin(g, axis=1) + jnp.arange(top) * (K // top)
+    elif selection == "approx":
+        _, cand = jax.lax.approx_min_k(fast, top)
+    else:
+        _, cand = jax.lax.top_k(-fast, top)
+    # Finalist poses reconstructed EXACTLY from feat rows (see layout rule
+    # above): R = feat[:, :9] verbatim, t = -0.5 * feat[:, 12:15].
+    featc = feat[cand]
+    Rc = featc[:, :9].reshape(top, 3, 3)
+    tc = -0.5 * featc[:, 12:15]
     # Finalists re-scored in true f32 (HIGHEST keeps the einsum off the
     # bf16 MXU path; at top x N size the cost is negligible).
-    exact, _ = score_poses_3d3d_reference(
-        T[cand], p, q, threshold, precision=jax.lax.Precision.HIGHEST
+    pred = (
+        jnp.einsum("kij,nj->kni", Rc, p, precision=jax.lax.Precision.HIGHEST)
+        + tc[:, None, :]
     )
+    err = jnp.sum((pred - q[None]) ** 2, axis=-1)
+    exact = jnp.sum(jnp.minimum(err, tau2), axis=-1)
     exact = jnp.where(jnp.isnan(exact), jnp.inf, exact)
     j = jnp.argmin(exact)
+    if return_pose:
+        T_win = (
+            jnp.eye(4, dtype=T.dtype)
+            .at[:3, :3].set(Rc[j])
+            .at[:3, 3].set(tc[j])
+        )
+        return cand[j], exact[j], T_win
     return cand[j], exact[j]
 
 
