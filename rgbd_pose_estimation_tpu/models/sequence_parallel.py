@@ -187,10 +187,14 @@ def sequence_parallel_odometry(
     else:
         results = local_results
 
-    # Custom runners may return poses only.
+    # Custom runners may return poses only. Poses are normalized to f32 on
+    # BOTH the single- and multi-process paths (the exchange packs f32), so
+    # a custom runner returning f64 cannot create a silent cross-path
+    # precision divergence (round-4 advisor finding).
     locals_, kfs_ = zip(*(
         res if isinstance(res, tuple) else (res, None) for res in results
     ))
+    locals_ = tuple(np.asarray(ps, np.float32) for ps in locals_)
 
     def _keyframes(out):
         kf_global = set()

@@ -143,6 +143,18 @@ class KeyframeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Sparse feature front-end (detection + matching)."""
+
+    # "orb" = host OpenCV ORB (reference parity); "tpu" = on-device
+    # FAST+BRIEF (features/tpu_detect.py — measured 574 us detect vs
+    # ~5-15 ms host ORB per keyframe, BASELINE.md). Both feed the same
+    # device Hamming matcher and the BA track builder (ba/build.py).
+    detector: str = "orb"
+    max_features: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     """Top-level pipeline wiring of the above."""
 
@@ -152,6 +164,7 @@ class PipelineConfig:
     ba: BAConfig = BAConfig()
     mesh: MeshConfig = MeshConfig()
     keyframe: KeyframeConfig = KeyframeConfig()
+    frontend: FrontendConfig = FrontendConfig()
 
 
 _SECTIONS = {
@@ -161,6 +174,7 @@ _SECTIONS = {
     "ba": BAConfig,
     "mesh": MeshConfig,
     "keyframe": KeyframeConfig,
+    "frontend": FrontendConfig,
 }
 
 
