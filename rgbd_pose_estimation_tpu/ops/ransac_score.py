@@ -49,6 +49,15 @@ def pack_poses(T: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def unpack_pose(row: jnp.ndarray) -> jnp.ndarray:
+    """One ``(12,)`` packed pose row → ``(4, 4)`` homogeneous matrix."""
+    return (
+        jnp.eye(4, dtype=row.dtype)
+        .at[:3, :3].set(row[:9].reshape(3, 3))
+        .at[:3, 3].set(row[9:12])
+    )
+
+
 # --------------------------------------------------------------------------
 # 3D-3D scoring: residual = ||R p + t - q||
 # --------------------------------------------------------------------------
@@ -444,9 +453,14 @@ def score_poses_2d3d(
 ):
     """Score K world→camera poses against N (3D point, normalized-2D) pairs.
 
-    Args: T ``(K, 4, 4)``, points ``(N, 3)``, obs ``(N, 2)``; ``impl`` as in
-    :func:`score_poses_3d3d`. Returns ``(msac_score, inlier_count)`` both
-    ``(K,)`` f32. Points behind the camera are treated as outliers.
+    Args: T ``(K, 4, 4)`` — or PACKED ``(K, 12)`` rows (``pack_poses``
+    layout), which callers with more than one pose consumer should prefer
+    (the round-5 layout rule: a second row-gather consumer of a rank-3
+    ``(K, 4, 4)`` tensor forces a ~64× padded canonical materialization;
+    2-D matrices are exempt). ``points`` ``(N, 3)``, ``obs`` ``(N, 2)``;
+    ``impl`` as in :func:`score_poses_3d3d`. Returns
+    ``(msac_score, inlier_count)`` both ``(K,)`` f32. Points behind the
+    camera are treated as outliers.
     """
     if impl == "reference" or (impl == "auto" and not _use_pallas()):
         return score_poses_2d3d_reference(T, points, obs, threshold)
@@ -454,7 +468,7 @@ def score_poses_2d3d(
     if impl == "auto" and (K % _KT != 0 or N % 128 != 0):
         return score_poses_2d3d_reference(T, points, obs, threshold)
     assert K % _KT == 0 and N % 128 == 0, (K, N)
-    poses = pack_poses(T)
+    poses = T if T.ndim == 2 else pack_poses(T)
     kernel = functools.partial(_score2d_kernel, tau2=threshold * threshold)
     msac, count = pl.pallas_call(
         kernel,
@@ -481,9 +495,13 @@ def score_poses_2d3d(
 
 
 def score_poses_2d3d_reference(T, points, obs, threshold: float):
-    """jnp twin of :func:`score_poses_2d3d`."""
-    R = T[:, :3, :3]
-    t = T[:, :3, 3]
+    """jnp twin of :func:`score_poses_2d3d` (accepts (K,4,4) or packed (K,12))."""
+    if T.ndim == 2:
+        R = T[:, :9].reshape(-1, 3, 3)
+        t = T[:, 9:12]
+    else:
+        R = T[:, :3, :3]
+        t = T[:, :3, 3]
     Xc = jnp.einsum("kij,nj->kni", R, points) + t[:, None, :]
     z = Xc[..., 2]
     behind = z < 1e-6
