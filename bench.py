@@ -131,8 +131,9 @@ def main():
     dt_2d3d, samples_2d3d = best_of(est2_step, pts[:1024])
 
     # Second north-star kernel: dense-ICP track at full 640x480, in-program
-    # (3-level pyramid, (5,7,10) GN iterations, packed nearest association),
-    # at the dense and the config-3 production stride settings.
+    # (3-level pyramid, packed nearest association), at the dense setting
+    # ((5,7,10) iterations) and the config-3 production setting (stride +
+    # reassoc k=2 + the round-5 (3,4,6) iteration schedule).
     from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
     from rgbd_pose_estimation_tpu.core.lie import se3_exp
     from rgbd_pose_estimation_tpu.data.synthetic import synthetic_depth_scene
@@ -145,12 +146,13 @@ def main():
     db, _ = synthetic_depth_scene(cam, T_gt)
 
     icp_ms = {}
-    for name, stride, reassoc in (
-        ("dense", (1, 1, 1), 1),
-        ("config3", (4, 4, 2), 2),  # matches configs/config3 (reassoc k=2)
+    for name, stride, reassoc, iters in (
+        ("dense", (1, 1, 1), 1, (5, 7, 10)),
+        # matches configs/config3 (stride, reassoc k=2, round-5 iter sweep)
+        ("config3", (4, 4, 2), 2, (3, 4, 6)),
     ):
         icfg = IcpConfig(downscale=1, source_stride=stride,
-                         reassoc_every=reassoc)
+                         reassoc_every=reassoc, iters_per_level=iters)
         mk = jax.jit(lambda d: make_icp_frame(cam, d, icfg))
         fa, fb = mk(da), mk(db)
         out = icp_track(cam, icfg, jnp.eye(4), fb, fa)
