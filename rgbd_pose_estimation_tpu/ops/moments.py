@@ -44,7 +44,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_KT = 512  # hypothesis tile (lanes of the one-hot / moment blocks)
+# Hypothesis tile (lanes of the one-hot / moment blocks). Round-5 tile
+# sweep at K=32768 (BASELINE.md): 1024 → 139 µs, 512 → 145, 256 → 148;
+# non-divisible K falls back to smaller tiles.
+_KT = 1024
 
 
 def _use_pallas() -> bool:
@@ -100,7 +103,7 @@ def minimal_moments(
         # num_hypotheses=1000) silently take the gather path, which handles
         # any (K, N) — the kernel is an optimization, never load-bearing.
         return minimal_moments_reference(idx, p, q)
-    kt = _KT if K % _KT == 0 else 256
+    kt = next((t for t in (_KT, 512, 256) if K % t == 0), 256)
     feat = _features(p, q)
     hi, lo = _split_hi_lo(feat)
     kern = functools.partial(_moments_kernel, m=m, n=N)
