@@ -33,7 +33,7 @@ sys.path.insert(0, ".")
 from rgbd_pose_estimation_tpu.data.synthetic import synthetic_correspondences
 from rgbd_pose_estimation_tpu.ransac.engine import estimate_pose_3d3d
 from rgbd_pose_estimation_tpu.utils.config import RansacConfig
-from tools.roofline import timeit_scan
+from tools.roofline import SubResolutionError, timeit_scan
 
 BASELINE_HYP_PER_S = 30_000.0  # 1000 hyp/frame x 30 fps (north-star)
 
@@ -84,7 +84,10 @@ def main():
                 samples.append(
                     timeit_scan(step_fn, x, n1=2, n2=12, min_delta_s=8e-3)
                 )
-            except RuntimeError:
+            except SubResolutionError:
+                # ONLY the resolution guard is dropped — a device/transport
+                # RuntimeError (XlaRuntimeError) must propagate, not be
+                # misreported as a timing-resolution problem.
                 continue
         if not samples:
             raise RuntimeError("every timing sample fell below resolution")
@@ -164,13 +167,15 @@ def main():
             T2, _ = body(cam, _icfg, T, _fb, _fa)
             return T2
 
-        s, _ = best_of(track_step, jnp.eye(4), n=2)
+        s, icp_samples = best_of(track_step, jnp.eye(4), n=2)
         icp_ms[name] = s * 1000.0
+        icp_ms[name + "_samples"] = icp_samples
 
     # Belt-and-braces on top of the timeit_scan resolution guard: nothing
     # non-positive can ever reach the published record (round-4 Weak #1).
     for label, val in [("in_program", dt_prog), ("2d3d", dt_2d3d),
-                       *((k, v) for k, v in icp_ms.items())]:
+                       *((k, v) for k, v in icp_ms.items()
+                         if not k.endswith("_samples"))]:
         assert val > 0, f"non-positive time for {label}: {val}"
 
     print(
@@ -199,6 +204,8 @@ def main():
                     "icp_track_640x480_fps_config3": round(
                         1000.0 / icp_ms["config3"], 1
                     ),
+                    "icp_ms_samples_dense": icp_ms["dense_samples"],
+                    "icp_ms_samples_config3": icp_ms["config3_samples"],
                     "backend": jax.default_backend(),
                 },
             }

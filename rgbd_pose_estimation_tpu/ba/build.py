@@ -35,6 +35,7 @@ from rgbd_pose_estimation_tpu.features.frontend import (
     _detect,
     match_descriptors,
 )
+from rgbd_pose_estimation_tpu.parallel.mesh import partition_bounds
 
 
 class _UnionFind:
@@ -53,18 +54,7 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
-def partition_bounds(n: int, procs: int) -> np.ndarray:
-    """Contiguous n-item → procs-process partition boundaries (len procs+1).
-
-    The same contiguous policy as ``models.sequence_parallel.
-    local_chunk_indices`` — contiguous (not round-robin) so each process's
-    I/O window is one span.
-    """
-    return np.linspace(0, n, procs + 1).round().astype(int)
-
-
 def detect_keyframe_features(
-    cam: CameraIntrinsics,
     keyframe_grays,
     keyframe_depths,
     max_features: int = 512,
@@ -144,12 +134,20 @@ def match_keyframe_pairs(
 
     idx = np.zeros((Pn, M), np.int32)
     good = np.zeros((Pn, M), bool)
+    # Each keyframe appears in >= 2 pairs (both temporal neighbors + loop
+    # pairs): upload its descriptor block to the device ONCE, not per pair.
+    dev: dict = {}
+
+    def on_device(k):
+        if k not in dev:
+            dev[k] = (jnp.asarray(desc[k]), jnp.asarray(valid[k]))
+        return dev[k]
+
     for pi in range(lo, hi):
         a, b = pairs[pi]
-        ib, g, _q = match_descriptors(
-            jnp.asarray(desc[a]), jnp.asarray(valid[a]),
-            jnp.asarray(desc[b]), jnp.asarray(valid[b]),
-        )
+        da, va = on_device(a)
+        db, vb = on_device(b)
+        ib, g, _q = match_descriptors(da, va, db, vb)
         idx[pi] = np.asarray(ib)
         good[pi] = np.asarray(g)
     if stats is not None:
@@ -188,7 +186,7 @@ def build_ba_problem(
     K = len(keyframe_grays)
     info_stats: dict = {}
     uv_all, desc_all, valid_all, z_all = detect_keyframe_features(
-        cam, keyframe_grays, keyframe_depths, max_features,
+        keyframe_grays, keyframe_depths, max_features,
         detector=detector, mesh=mesh, stats=info_stats,
     )
 

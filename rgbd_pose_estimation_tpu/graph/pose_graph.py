@@ -173,6 +173,13 @@ def optimize_pose_graph(
     return T_opt, costs
 
 
+# Depth-thumbnail descriptor shape (rows, cols) — exported so the
+# descriptor-exchange buffers (models/distributed_slam.py) derive their
+# width from ONE place instead of restating 12*16.
+DESCRIPTOR_SHAPE = (12, 16)
+DESCRIPTOR_DIM = DESCRIPTOR_SHAPE[0] * DESCRIPTOR_SHAPE[1]
+
+
 def frame_descriptor(frame) -> np.ndarray:
     """Tiny appearance descriptor of an IcpFrame: normalized depth thumbnail.
 
@@ -186,7 +193,7 @@ def frame_descriptor(frame) -> np.ndarray:
     """
     z = np.asarray(frame.vertices[-1][..., 2])  # coarsest depth
     h, w = z.shape
-    th, tw = 12, 16
+    th, tw = DESCRIPTOR_SHAPE
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     thumb = z[np.ix_(ys, xs)].astype(np.float32).reshape(-1)

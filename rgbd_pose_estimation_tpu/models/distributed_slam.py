@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rgbd_pose_estimation_tpu.ba.build import build_ba_problem, partition_bounds
+from rgbd_pose_estimation_tpu.ba.build import build_ba_problem
 from rgbd_pose_estimation_tpu.ba.cluster import block_ba_problem_device
 from rgbd_pose_estimation_tpu.ba.schur import (
     prune_observations,
@@ -45,6 +45,7 @@ from rgbd_pose_estimation_tpu.ba.schur import (
 from rgbd_pose_estimation_tpu.core.camera import CameraIntrinsics
 from rgbd_pose_estimation_tpu.core.lie import se3_inverse
 from rgbd_pose_estimation_tpu.graph.pose_graph import (
+    DESCRIPTOR_DIM,
     frame_descriptor,
     optimize_pose_graph,
 )
@@ -57,6 +58,7 @@ from jax.sharding import PartitionSpec as PSpec
 from rgbd_pose_estimation_tpu.parallel.mesh import (
     allgather_hosts,
     fetch_global,
+    partition_bounds,
     put_process_rows,
 )
 from rgbd_pose_estimation_tpu.parallel.sharded import (
@@ -160,6 +162,7 @@ def verify_loop_pairs(
     kf_poses: np.ndarray,  # (K, 4, 4) initial keyframe poses
     frame_of,  # pos -> IcpFrame (per-process cache)
     stats: Optional[dict] = None,
+    inv_poses: Optional[np.ndarray] = None,  # precomputed se3_inverse(kf_poses)
 ):
     """Geometrically verify candidate pairs, DP-sharded over the mesh.
 
@@ -186,7 +189,8 @@ def verify_loop_pairs(
     if stats is not None:
         stats["verify_pairs_local"] = max(0, min(r1, B) - min(r0, B))
 
-    inv_poses = np.asarray(se3_inverse(jnp.asarray(kf_poses)))
+    if inv_poses is None:
+        inv_poses = np.asarray(se3_inverse(jnp.asarray(kf_poses)))
     dummy = None
     T_loc, src_loc, tgt_loc = [], [], []
     for r in range(r0, r1):
@@ -284,8 +288,7 @@ def distributed_slam(
     # (2) keyframe descriptors, process-sharded over the keyframe span;
     # one host all_gather (disjoint-support sum) assembles the full set.
     d0, d1 = _local_span(K, procs, pid)
-    desc_dim = frame_descriptor(frame_of(d0)).shape[0] if d1 > d0 else 192
-    desc = np.zeros((K, desc_dim), np.float32)
+    desc = np.zeros((K, DESCRIPTOR_DIM), np.float32)
     for pos in range(d0, d1):
         desc[pos] = frame_descriptor(frame_of(pos))
     if procs > 1:
@@ -301,9 +304,13 @@ def distributed_slam(
     )
 
     # (3) DP-sharded geometric verification over the candidate-pair axis.
+    # inv_kf is shared with the pose-graph edge build and the final
+    # re-anchoring below (one batched se3_inverse, not three).
+    inv_kf = np.asarray(se3_inverse(jnp.asarray(kf_poses0)))
     v_stats: dict = {}
     verified = verify_loop_pairs(
-        mesh, cam, cfg.icp, pairs, kf_poses0, frame_of, stats=v_stats
+        mesh, cam, cfg.icp, pairs, kf_poses0, frame_of, stats=v_stats,
+        inv_poses=inv_kf,
     )
     loop_edges = [
         (a, b, T_rel, ovl) for a, b, T_rel, ovl in verified
@@ -316,7 +323,6 @@ def distributed_slam(
     # (4) keyframe pose graph: odometry edges from the stitched trajectory
     # + verified loop edges.
     ei, ej, Tm, w = [], [], [], []
-    inv_kf = np.asarray(se3_inverse(jnp.asarray(kf_poses0)))
     for a in range(K - 1):
         M = kf_poses0[a] @ inv_kf[a + 1]
         ei.append(a); ej.append(a + 1); Tm.append(M)

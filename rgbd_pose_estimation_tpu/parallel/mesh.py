@@ -119,6 +119,19 @@ def put_global_tree(mesh: Mesh, specs, tree):
     )
 
 
+def partition_bounds(n: int, procs: int) -> np.ndarray:
+    """Contiguous n-item → procs-process partition boundaries (len procs+1).
+
+    THE span-partition policy for process-sharded pipeline stages —
+    contiguous (not round-robin) so each process's I/O window is one span;
+    the same policy as ``models.sequence_parallel.local_chunk_indices``.
+    Used by the keyframe/descriptor spans (models/distributed_slam.py),
+    the BA detect/match spans (ba/build.py), and anything feeding
+    :func:`put_process_rows`.
+    """
+    return np.linspace(0, n, procs + 1).round().astype(int)
+
+
 def put_process_rows(mesh: Mesh, spec, local_rows):
     """Build a global axis-0-sharded array where each process supplies ONLY
     its own contiguous rows.

@@ -62,6 +62,13 @@ def _walltime(fn, *args, reps: int = 3) -> float:
     return best
 
 
+class SubResolutionError(RuntimeError):
+    """timeit_scan could not obtain a slope above the timing-resolution
+    floor — distinct from generic RuntimeError so callers dropping
+    sub-resolution samples (bench.py) cannot accidentally swallow real
+    device/transport failures (XlaRuntimeError etc.)."""
+
+
 def timeit_scan(
     step,
     x0,
@@ -114,10 +121,14 @@ def timeit_scan(
         floor = 0.05 * min_delta_s / (n2 - n1)
         if slope > floor:
             return slope
-        # Sub-resolution measurement: widen the window and try again.
-        min_delta_s *= 2.0
+        # Sub-resolution measurement: GENUINELY widen the window — the
+        # capped exit above means n2 == max_n2 here, so max_n2 must grow
+        # for the retry to measure a longer program (a real slope's delta
+        # then doubles while the floor, fixed by min_delta_s, halves
+        # relative to it).
+        max_n2 *= 2
         n2 = min(max_n2, n2 * 2)
-    raise RuntimeError(
+    raise SubResolutionError(
         f"timeit_scan: slope {slope:.3e} s/iter stayed below the timing "
         f"resolution floor after {retries} widened retries (n2={n2}, "
         f"min_delta_s={min_delta_s}) — refusing to publish a "
