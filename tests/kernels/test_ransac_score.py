@@ -273,3 +273,51 @@ class TestScore2D3D:
         obs = jnp.zeros((128, 2))
         msac, count = score_poses_2d3d_reference(T, pts, obs, 0.1)
         assert float(count.max()) == 0.0
+
+
+class TestPackedPoses:
+    """Round-5 layout-rule API surface: packed (K, 12) rows everywhere a
+    second consumer of a (K, 4, 4) tensor would force the canonical
+    tiled-layout materialization (BASELINE.md round-5)."""
+
+    def test_pack_unpack_roundtrip(self):
+        from rgbd_pose_estimation_tpu.ops.ransac_score import (
+            pack_poses,
+            unpack_pose,
+        )
+
+        T = _poses(11, 64)
+        P = pack_poses(T)
+        assert P.shape == (64, 12)
+        for k in (0, 17, 63):
+            np.testing.assert_array_equal(
+                np.asarray(unpack_pose(P[k])), np.asarray(T[k])
+            )
+
+    def test_score_2d3d_accepts_packed_rows(self):
+        from rgbd_pose_estimation_tpu.ops.ransac_score import pack_poses
+
+        rng = np.random.default_rng(4)
+        T = _poses(5, 256)
+        pts = jnp.asarray(rng.normal(size=(128, 3)) + [0, 0, 4], jnp.float32)
+        obs3 = se3_apply(T[9][None], pts[None])[0]
+        obs = obs3[:, :2] / obs3[:, 2:3]
+        m_mat, c_mat = score_poses_2d3d_reference(T, pts, obs, 0.02)
+        m_pak, c_pak = score_poses_2d3d_reference(
+            pack_poses(T), pts, obs, 0.02
+        )
+        np.testing.assert_allclose(np.asarray(m_pak), np.asarray(m_mat))
+        np.testing.assert_array_equal(np.asarray(c_pak), np.asarray(c_mat))
+
+    def test_best_pose_return_pose_is_exact(self):
+        """return_pose reconstructs the winner from quad feature rows —
+        must be BITWISE the winning row of T (R copied, t = (-2t)/(-2))."""
+        rng = np.random.default_rng(6)
+        T = _poses(7, 512)
+        p = jnp.asarray(rng.normal(size=(256, 3)), jnp.float32)
+        q = se3_apply(T[123][None], p[None])[0]
+        b, s, Tw = best_pose_3d3d(
+            T, p, q, 0.05, impl="two_stage", return_pose=True
+        )
+        assert int(b) == 123
+        np.testing.assert_array_equal(np.asarray(Tw), np.asarray(T[123]))
