@@ -295,6 +295,17 @@ def cmd_odom(args):
 
 
 def cmd_ba(args):
+    """Config-5 BA-focused driver.
+
+    Scaling note: under a multi-process launch the BA solve, the device
+    relayout, and the detect/match front-end are process-sharded, but the
+    initializing dense odometry runs REPLICATED on every process — by
+    design, so the 2-process trajectory is bit-comparable to the
+    single-process run (the parity contract the tests pin). For the
+    fully-sharded pipeline (chunked odometry included) use ``slam``,
+    whose chunk-stitched trajectory is its own single-vs-multi-process
+    parity baseline.
+    """
     cfg = _setup(args)
     import time
 
